@@ -1,0 +1,247 @@
+"""Framework-wide constants.
+
+Mirrors the configuration surface of the reference suite
+(/root/reference/gym_kmanip/__init__.py:14-222): every hyperparameter a user of
+the reference relies on exists here under the same name with the same default.
+
+The values are physical / behavioral facts of the K-Scale "Stompy" robots and
+the cube-pick task; the code around them is a fresh TPU-native design.
+"""
+
+from collections import OrderedDict as ODict
+from dataclasses import dataclass, field
+import os
+from typing import List, OrderedDict, Tuple
+
+import numpy as np
+from numpy.typing import NDArray
+
+ASSETS_DIR: str = os.path.join(os.path.dirname(__file__), "assets")
+DATA_DIR: str = os.path.join(os.path.dirname(__file__), "data")
+
+DATE_FORMAT: str = "%mm%dd%Yy_%Hh%Mm"
+
+# Robot model identifiers (the reference selects robots via MJCF filenames,
+# gym_kmanip/__init__.py:18-20; we key a registry of static model pytrees).
+SOLO_ARM_MJCF: str = "_env_solo_arm.xml"
+DUAL_ARM_MJCF: str = "_env_dual_arm.xml"
+TORSO_MJCF: str = "_env_torso.xml"
+
+SOLO_ARM_URDF: str = "stompy_tiny_solo_arm_glb.urdf"
+DUAL_ARM_URDF: str = "stompy_dual_arm_tiny_glb.urdf"
+TORSO_URDF: str = "stompy_tiny_glb/robot.urdf"
+
+# Episode / timing (reference gym_kmanip/__init__.py:28-34)
+MAX_EPISODE_STEPS: int = 64
+FPS: int = 30
+CONTROL_TIMESTEP: float = 0.02  # seconds per control step
+PHYSICS_TIMESTEP: float = 0.002  # MuJoCo default <option timestep>; 10 substeps
+N_SUBSTEPS: int = int(round(CONTROL_TIMESTEP / PHYSICS_TIMESTEP))
+MAX_Q_VEL: float = np.pi  # rad/s
+GRAVITY: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+
+# exponential filtering for control signal (alpha=1 => passthrough; parity
+# with reference CTRL_ALPHA, gym_kmanip/__init__.py:34)
+CTRL_ALPHA: float = 1.0
+
+# IK hyperparameters (reference gym_kmanip/__init__.py:36-41)
+IK_RES_RAD: float = 0.02
+IK_RES_REG_PREV: float = 6e-3
+IK_RES_REG_HOME: float = 2e-6
+IK_JAC_RAD: float = 0.02
+IK_JAC_REG: float = 9e-3
+# fixed iteration budget for the batched Levenberg-Marquardt IK solve; the
+# reference uses scipy's adaptive TRF (ik_mujoco.py:129) which cannot be
+# jitted -- a fixed-budget LM with adaptive damping matches its solutions to
+# well below actuator resolution while staying XLA-compilable.
+IK_MAX_ITERS: int = 12
+
+# Datasets (reference gym_kmanip/__init__.py:43-47)
+H5PY_CHUNK_SIZE_BYTES: int = 1024**2 * 2
+HF_LEROBOT_VERSION: str = "v1.4"
+HF_LEROBOT_BATCH_SIZE: int = 32
+HF_LEROBOT_NUM_WORKERS: int = 8
+
+# Gym spaces dtypes (reference gym_kmanip/__init__.py:50-51)
+OBS_DTYPE: np.dtype = np.float64
+ACT_DTYPE: np.dtype = np.float32
+
+# Home poses (reference gym_kmanip/__init__.py:53-122). Ordered dicts keyed by
+# the MJCF joint names, in MuJoCo depth-first qpos order.
+Q_SOLO_ARM_HOME_DICT: OrderedDict[str, float] = ODict()
+Q_SOLO_ARM_HOME_DICT["joint_right_arm_1_x8_1_dof_x8"] = 0.0
+Q_SOLO_ARM_HOME_DICT["joint_right_arm_1_x8_2_dof_x8"] = 0.75
+Q_SOLO_ARM_HOME_DICT["joint_right_arm_1_x6_1_dof_x6"] = 1.0
+Q_SOLO_ARM_HOME_DICT["joint_right_arm_1_x6_2_dof_x6"] = 1.0
+Q_SOLO_ARM_HOME_DICT["joint_right_arm_1_x4_1_dof_x4"] = 2.0
+Q_SOLO_ARM_HOME_DICT["joint_right_arm_1_hand_right_1_x4_3_dof_x4"] = -2.0
+Q_SOLO_ARM_HOME_DICT["joint_right_arm_1_hand_right_1_x4_1_dof_x4"] = 0.0
+Q_SOLO_ARM_HOME_DICT["joint_right_arm_1_hand_right_1_x4_2_dof_x4"] = 0.0
+Q_SOLO_ARM_HOME_DICT["joint_right_arm_1_hand_right_1_slider_3"] = 0.005
+Q_SOLO_ARM_HOME_DICT["joint_right_arm_1_hand_right_1_slider_1"] = 0.005
+Q_SOLO_ARM_HOME: NDArray = np.array(
+    list(Q_SOLO_ARM_HOME_DICT.values()), dtype=ACT_DTYPE
+)
+Q_SOLO_ARM_KEYS: List[str] = list(Q_SOLO_ARM_HOME_DICT.keys())
+
+Q_DUAL_ARM_HOME_DICT: OrderedDict[str, float] = ODict()
+Q_DUAL_ARM_HOME_DICT["joint_right_arm_1_x8_1_dof_x8"] = 0.0
+Q_DUAL_ARM_HOME_DICT["joint_right_arm_1_x8_2_dof_x8"] = 0.75
+Q_DUAL_ARM_HOME_DICT["joint_right_arm_1_x6_1_dof_x6"] = 1.0
+Q_DUAL_ARM_HOME_DICT["joint_right_arm_1_x6_2_dof_x6"] = 1.0
+Q_DUAL_ARM_HOME_DICT["joint_right_arm_1_x4_1_dof_x4"] = 2.0
+Q_DUAL_ARM_HOME_DICT["joint_right_arm_1_hand_right_1_x4_3_dof_x4"] = -2.7
+Q_DUAL_ARM_HOME_DICT["joint_right_arm_1_hand_right_1_x4_1_dof_x4"] = 0.0
+Q_DUAL_ARM_HOME_DICT["joint_right_arm_1_hand_right_1_x4_2_dof_x4"] = 0.0
+Q_DUAL_ARM_HOME_DICT["joint_right_arm_1_hand_right_1_slider_3"] = 0.005
+Q_DUAL_ARM_HOME_DICT["joint_right_arm_1_hand_right_1_slider_1"] = 0.005
+Q_DUAL_ARM_HOME_DICT["joint_left_arm_1_x8_1_dof_x8"] = 0.0
+Q_DUAL_ARM_HOME_DICT["joint_left_arm_1_x8_2_dof_x8"] = -0.75
+Q_DUAL_ARM_HOME_DICT["joint_left_arm_1_x6_1_dof_x6"] = -1.0
+Q_DUAL_ARM_HOME_DICT["joint_left_arm_1_x6_2_dof_x6"] = -1.0
+Q_DUAL_ARM_HOME_DICT["joint_left_arm_1_x4_1_dof_x4"] = 2.0
+Q_DUAL_ARM_HOME_DICT["joint_left_arm_1_hand_left_1_x4_3_dof_x4"] = 0.0
+Q_DUAL_ARM_HOME_DICT["joint_left_arm_1_hand_left_1_x4_1_dof_x4"] = 0.0
+Q_DUAL_ARM_HOME_DICT["joint_left_arm_1_hand_left_1_x4_2_dof_x4"] = 0.0
+Q_DUAL_ARM_HOME_DICT["joint_left_arm_1_hand_left_1_slider_3"] = 0.005
+Q_DUAL_ARM_HOME_DICT["joint_left_arm_1_hand_left_1_slider_1"] = 0.005
+Q_DUAL_ARM_HOME: NDArray = np.array(
+    list(Q_DUAL_ARM_HOME_DICT.values()), dtype=ACT_DTYPE
+)
+Q_DUAL_ARM_KEYS: List[str] = list(Q_DUAL_ARM_HOME_DICT.keys())
+
+Q_TORSO_HOME_DICT: OrderedDict[str, float] = ODict()
+Q_TORSO_HOME_DICT["joint_head_1_x4_1_dof_x4"] = -1.0
+Q_TORSO_HOME_DICT["joint_head_1_x4_2_dof_x4"] = 0.0
+Q_TORSO_HOME_DICT["joint_right_arm_1_x8_1_dof_x8"] = 1.7
+Q_TORSO_HOME_DICT["joint_right_arm_1_x8_2_dof_x8"] = 1.6
+Q_TORSO_HOME_DICT["joint_right_arm_1_x6_1_dof_x6"] = 0.34
+Q_TORSO_HOME_DICT["joint_right_arm_1_x6_2_dof_x6"] = 1.6
+Q_TORSO_HOME_DICT["joint_right_arm_1_x4_1_dof_x4"] = 1.4
+Q_TORSO_HOME_DICT["joint_right_arm_1_hand_1_x4_1_dof_x4"] = -0.26
+Q_TORSO_HOME_DICT["joint_right_arm_1_hand_1_slider_1"] = 0.0
+Q_TORSO_HOME_DICT["joint_right_arm_1_hand_1_slider_2"] = 0.0
+Q_TORSO_HOME_DICT["joint_right_arm_1_hand_1_x4_2_dof_x4"] = 0.0
+Q_TORSO_HOME_DICT["joint_left_arm_2_x8_1_dof_x8"] = -1.7
+Q_TORSO_HOME_DICT["joint_left_arm_2_x8_2_dof_x8"] = -1.6
+Q_TORSO_HOME_DICT["joint_left_arm_2_x6_1_dof_x6"] = -0.34
+Q_TORSO_HOME_DICT["joint_left_arm_2_x6_2_dof_x6"] = -1.6
+Q_TORSO_HOME_DICT["joint_left_arm_2_x4_1_dof_x4"] = -1.4
+Q_TORSO_HOME_DICT["joint_left_arm_2_hand_1_x4_1_dof_x4"] = -1.7
+Q_TORSO_HOME_DICT["joint_left_arm_2_hand_1_slider_1"] = 0.0
+Q_TORSO_HOME_DICT["joint_left_arm_2_hand_1_slider_2"] = 0.0
+Q_TORSO_HOME_DICT["joint_left_arm_2_hand_1_x4_2_dof_x4"] = 0.0
+Q_TORSO_HOME: NDArray = np.array(list(Q_TORSO_HOME_DICT.values()), dtype=ACT_DTYPE)
+Q_TORSO_KEYS: List[str] = list(Q_TORSO_HOME_DICT.keys())
+
+# Per-environment q / ctrl index masks (reference gym_kmanip/__init__.py:124-136)
+Q_ID_R_MASK_SOLO: NDArray = np.array([0, 1, 2, 3, 4, 5, 6])
+CTRL_ID_R_GRIP_SOLO: NDArray = np.array([8, 9])
+
+Q_ID_R_MASK_DUAL: NDArray = np.array([0, 1, 2, 3, 4, 5, 6])
+Q_ID_L_MASK_DUAL: NDArray = np.array([10, 11, 12, 13, 14, 15, 16])
+CTRL_ID_R_GRIP_DUAL: NDArray = np.array([8, 9])
+CTRL_ID_L_GRIP_DUAL: NDArray = np.array([18, 19])
+
+Q_ID_R_MASK_TORSO: NDArray = np.array([2, 3, 4, 5, 6, 7])
+Q_ID_L_MASK_TORSO: NDArray = np.array([11, 12, 13, 14, 15, 16])
+CTRL_ID_R_GRIP_TORSO: NDArray = np.array([8, 9])
+CTRL_ID_L_GRIP_TORSO: NDArray = np.array([17, 18])
+
+# mocap objects are set by hand poses (reference gym_kmanip/__init__.py:139-140)
+MOCAP_ID_R: int = 0
+MOCAP_ID_L: int = 1
+
+
+@dataclass
+class Cam:
+    """Camera spec (reference gym_kmanip/__init__.py:143-161)."""
+
+    w: int  # image width
+    h: int  # image height
+    c: int  # image channels
+    fl: int  # focal length
+    pp: Tuple[int, int]  # principal point
+    name: str
+    log_name: str
+    low: int = 0
+    high: int = 255
+    dtype = np.uint8
+    # extra fields used by the real-robot backend (the reference accesses
+    # cam.device_id / cam.fps without defining them, env_real.py:38-42 -- we
+    # fix that contract here)
+    device_id: int = 0
+    fps: int = 30
+
+
+CAMERAS: OrderedDict[str, Cam] = ODict()
+CAMERAS["head"] = Cam(640, 480, 3, 448, (320, 240), "head", "camera/head")
+CAMERAS["top"] = Cam(640, 480, 3, 448, (320, 240), "top", "camera/top")
+CAMERAS["grip_r"] = Cam(60, 40, 3, 45, (30, 20), "grip_r", "camera/grip_r")
+CAMERAS["grip_l"] = Cam(60, 40, 3, 45, (30, 20), "grip_l", "camera/grip_l")
+
+# cube spawn randomization bounds (reference gym_kmanip/__init__.py:164-170)
+CUBE_SPAWN_RANGE: NDArray = np.array(
+    [
+        [0.1, 0.3],  # X
+        [0.5, 0.7],  # Y
+        [0.6, 0.7],  # Z
+    ]
+)
+
+# EE deltas (reference gym_kmanip/__init__.py:174-189)
+EE_POS_DELTA: NDArray = np.array([0.01, 0.01, 0.01])
+EE_ORN_DELTA: NDArray = np.array([0.1, 0.1, 0.1])
+EE_DEFAULT_ORN: NDArray = np.array([1, 0, 0, 0])
+
+EPSILON: float = 1e-6
+
+Q_POS_DELTA: float = 0.1  # radians
+
+# gripper slider range (reference gym_kmanip/__init__.py:199-201)
+EE_S_MIN: float = -0.029  # closed
+EE_S_MAX: float = 0.005  # open
+EE_S_DELTA: float = 0.0001
+
+# reward shaping (reference gym_kmanip/__init__.py:204-208)
+REWARD_SUCCESS_THRESHOLD: float = 2.0
+REWARD_VEL_PENALTY: float = 0.01
+REWARD_GRIP_DIST: float = 0.01
+REWARD_TOUCH_CUBE: float = 1.0
+REWARD_LIFT_CUBE: float = 1.0
+
+# quaternion convention converters (reference gym_kmanip/__init__.py:212-213)
+XYZW_2_WXYZ: NDArray = np.array([3, 0, 1, 2])
+WXYZ_2_XYZW: NDArray = np.array([1, 2, 3, 0])
+
+# Vuer teleop
+VUER_IMG_QUALITY: int = 20
+
+# real robot camera capture
+CAMERA_FPS: int = 30
+BGR_TO_RGB: NDArray = np.array([2, 1, 0], dtype=np.uint8)
+
+# ---------------------------------------------------------------------------
+# Scene / task geometry (reference gym_kmanip/assets/scene.xml:14-21).
+# The reference table is a mesh (tabletop.stl) not shipped in-repo; we model
+# the tabletop as an axis-aligned box whose top surface sits at the bottom of
+# the cube spawn range so spawned cubes land on it.
+# ---------------------------------------------------------------------------
+TABLE_POS: NDArray = np.array([0.0, 0.6, 0.5])
+TABLE_TOP_Z: float = 0.6
+TABLE_HALF_X: float = 0.6
+TABLE_HALF_Y: float = 0.4
+CUBE_HALF_SIZE: float = 0.02
+CUBE_MASS: float = 0.05
+CUBE_DIAG_INERTIA: float = 0.002
+CUBE_FRICTION: Tuple[float, float, float] = (1.0, 0.005, 0.0001)
+CUBE_FRICTIONLOSS: float = 0.01
+CUBE_INIT_POS: NDArray = np.array([0.2, 0.5, 0.65])
+
+# Penalty-based contact parameters (TPU-native replacement for MuJoCo's
+# solref/solimp soft constraints, scene.xml:20). Tuned so a 0.05 kg cube
+# settles on the table with <1 mm penetration at dt=0.002.
+CONTACT_STIFFNESS: float = 5000.0
+CONTACT_DAMPING: float = 50.0
+CONTACT_FRICTION_MU: float = 1.0
+CONTACT_SLIP_VEL: float = 0.01  # m/s smoothing velocity for Coulomb friction

@@ -1,0 +1,158 @@
+"""Batched forward kinematics and Jacobians in pure JAX.
+
+TPU-native replacement for the reference's MuJoCo C calls
+(mj_kinematics / mj_comPos / mj_jacSite at
+/root/reference/gym_kmanip/ik_mujoco.py:35,68-80).
+
+Design: the kinematic tree is static (parents have lower indices), so FK is
+an unrolled composition over at most 20 joints -- XLA fuses it into a handful
+of vector ops. Everything broadcasts over arbitrary leading batch dims via
+vmap, which is how thousands of MPC rollouts share one compiled program.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gym_kmanip_tpu.models.spec import HINGE, SLIDE, RobotModel
+from gym_kmanip_tpu.utils import rotations as rot
+
+
+def fk(model: RobotModel, qpos: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Forward kinematics for one configuration.
+
+    Args:
+      qpos: (nq,) joint positions.
+    Returns:
+      xpos: (nq, 3) world position of each joint frame origin
+      xquat: (nq, 4) world orientation of each joint frame
+      axis_w: (nq, 3) world-frame joint axis (z of the joint frame)
+    """
+    jp = jnp.asarray(model.jnt_pos, dtype=qpos.dtype)
+    jq = jnp.asarray(model.jnt_quat, dtype=qpos.dtype)
+    xpos = []
+    xquat = []
+    for i in range(model.nq):
+        par = int(model.parent[i])
+        if par < 0:
+            p_par = jnp.zeros(3, dtype=qpos.dtype)
+            q_par = jnp.array([1.0, 0, 0, 0], dtype=qpos.dtype)
+        else:
+            p_par, q_par = xpos[par], xquat[par]
+        p = p_par + rot.quat_rotate(q_par, jp[i])
+        q = rot.quat_mul(q_par, jq[i])
+        if int(model.jnt_type[i]) == HINGE:
+            # rotate about local z by qpos[i]
+            half = 0.5 * qpos[i]
+            qz = jnp.stack(
+                [jnp.cos(half), jnp.zeros_like(half), jnp.zeros_like(half), jnp.sin(half)]
+            )
+            q = rot.quat_mul(q, qz)
+        else:  # SLIDE: translate along local z
+            p = p + rot.quat_rotate(q, jnp.array([0.0, 0, 1.0], dtype=qpos.dtype) * qpos[i])
+        xpos.append(p)
+        xquat.append(q)
+    xpos = jnp.stack(xpos)
+    xquat = jnp.stack(xquat)
+    axis_w = rot.quat_rotate(xquat, jnp.broadcast_to(jnp.array([0.0, 0, 1.0], dtype=qpos.dtype), (model.nq, 3)))
+    return xpos, xquat, axis_w
+
+
+def site_pose(
+    model: RobotModel, xpos: jax.Array, xquat: jax.Array, site_name: str
+) -> Tuple[jax.Array, jax.Array]:
+    """World pose of a named site. Equivalent to physics.data.site(x).xpos/xmat."""
+    s = model.site(site_name)
+    p = xpos[s.parent] + rot.quat_rotate(xquat[s.parent], jnp.asarray(s.pos, dtype=xpos.dtype))
+    q = rot.quat_mul(xquat[s.parent], jnp.asarray(s.quat, dtype=xpos.dtype))
+    return p, q
+
+
+def point_jacobian(
+    model: RobotModel,
+    xpos: jax.Array,
+    axis_w: jax.Array,
+    point: jax.Array,
+    attach_joint: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Translational + rotational Jacobian of a world point rigidly attached
+    to `attach_joint`'s body. Equivalent to mj_jacSite (ik_mujoco.py:74).
+
+    Returns (jacp, jacr), each (3, nq).
+    """
+    anc = jnp.asarray(model.ancestors[attach_joint], dtype=xpos.dtype)  # (nq,)
+    is_slide = jnp.asarray(model.jnt_type == SLIDE, dtype=xpos.dtype)[:, None]
+    lever = jnp.cross(axis_w, point[None, :] - xpos)  # (nq, 3)
+    jacp = anc[:, None] * jnp.where(is_slide > 0, axis_w, lever)  # (nq,3)
+    jacr = anc[:, None] * (1.0 - is_slide) * axis_w
+    return jacp.T, jacr.T
+
+
+def body_jacobians(
+    model: RobotModel, xpos: jax.Array, xquat: jax.Array, axis_w: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """COM Jacobians for every joint body, vectorized over bodies and joints.
+
+    Returns:
+      com_w: (nq, 3) world COM of each body
+      jv: (nq, 3, nq) translational Jacobians
+      jw: (nq, 3, nq) rotational Jacobians
+    """
+    com = jnp.asarray(model.body_com, dtype=xpos.dtype)
+    com_w = xpos + rot.quat_rotate(xquat, com)  # (nq,3)
+    anc = jnp.asarray(model.ancestors, dtype=xpos.dtype)  # (nq,nq) body i, joint j
+    is_slide = jnp.asarray(model.jnt_type == SLIDE, dtype=xpos.dtype)  # (nq,)
+    # lever[i,j] = axis_j x (com_i - p_j)
+    diff = com_w[:, None, :] - xpos[None, :, :]  # (nbody, njnt, 3)
+    lever = jnp.cross(jnp.broadcast_to(axis_w[None], diff.shape), diff)
+    jv = anc[:, :, None] * jnp.where(
+        is_slide[None, :, None] > 0, axis_w[None], lever
+    )  # (nbody, njnt, 3)
+    jw = anc[:, :, None] * (1.0 - is_slide)[None, :, None] * axis_w[None]
+    return com_w, jv.transpose(0, 2, 1), jw.transpose(0, 2, 1)
+
+
+def mass_matrix(model: RobotModel, qpos: jax.Array) -> jax.Array:
+    """Joint-space inertia matrix M(q) via COM-Jacobian contraction.
+
+    M = sum_i m_i Jv_i^T Jv_i + Jw_i^T (R_i I_i R_i^T) Jw_i + armature.
+    Dense einsum formulation: O(n^2) matmuls that batch onto the MXU, chosen
+    over recursive CRBA because rollout batches (K x H) turn these tiny
+    contractions into large batched GEMMs.
+    """
+    xpos, xquat, axis_w = fk(model, qpos)
+    _, jv, jw = body_jacobians(model, xpos, xquat, axis_w)
+    m = jnp.asarray(model.body_mass, dtype=qpos.dtype)  # (nq,)
+    I_diag = jnp.asarray(model.body_inertia, dtype=qpos.dtype)  # (nq,3)
+    R = rot.quat_to_mat(xquat)  # (nq,3,3)
+    Iw = jnp.einsum("iab,ib,icb->iac", R, I_diag, R)  # R diag(I) R^T
+    M = jnp.einsum("iaj,i,iak->jk", jv, m, jv) + jnp.einsum(
+        "iaj,iab,ibk->jk", jw, Iw, jw
+    )
+    return M + jnp.diag(jnp.asarray(model.armature, dtype=qpos.dtype))
+
+
+def gravity_potential(model: RobotModel, qpos: jax.Array, g: float = 9.81) -> jax.Array:
+    """Potential energy U(q) = sum_i m_i g z_com_i."""
+    xpos, xquat, _ = fk(model, qpos)
+    com = jnp.asarray(model.body_com, dtype=qpos.dtype)
+    com_w = xpos + rot.quat_rotate(xquat, com)
+    m = jnp.asarray(model.body_mass, dtype=qpos.dtype)
+    return g * jnp.sum(m * com_w[:, 2])
+
+
+def bias_forces(model: RobotModel, qpos: jax.Array, qvel: jax.Array) -> jax.Array:
+    """qfrc_bias = C(q,v)v + g(q), via autodiff of the Lagrangian.
+
+    Coriolis: C v = dM/dt v - 1/2 d(v^T M v)/dq, with dM/dt v computed as a
+    single jvp of q -> M(q) v along qdot. Gravity: dU/dq. This trades the
+    hand-derived RNEA recursion for two AD passes over the (already
+    MXU-friendly) mass-matrix builder -- exactness follows from FK exactness.
+    """
+    Mv = lambda q: mass_matrix(model, q) @ qvel
+    dM_dt_v = jax.jvp(Mv, (qpos,), (qvel,))[1]
+    dT_dq = jax.grad(lambda q: 0.5 * qvel @ mass_matrix(model, q) @ qvel)(qpos)
+    dU_dq = jax.grad(lambda q: gravity_potential(model, q))(qpos)
+    return dM_dt_v - dT_dq + dU_dq
