@@ -240,8 +240,19 @@ CUBE_INIT_POS: NDArray = np.array([0.2, 0.5, 0.65])
 
 # Penalty-based contact parameters (TPU-native replacement for MuJoCo's
 # solref/solimp soft constraints, scene.xml:20). Tuned so a 0.05 kg cube
-# settles on the table with <1 mm penetration at dt=0.002.
-CONTACT_STIFFNESS: float = 5000.0
-CONTACT_DAMPING: float = 50.0
+# settles on the table with <0.1 mm penetration at dt=0.002 while keeping
+# dt*sqrt(k/m) and dt*c/m inside the semi-implicit-Euler stability region.
+# Per-contact-point values; with all 4 bottom corners of the cube active the
+# effective stiffness/damping is 4x, which must stay inside dt*sqrt(k/m) < 2
+# and dt*c/m < 2 for the 0.05 kg cube at dt = 0.002.
+CONTACT_STIFFNESS: float = 2500.0
+CONTACT_DAMPING: float = 8.0
 CONTACT_FRICTION_MU: float = 1.0
 CONTACT_SLIP_VEL: float = 0.01  # m/s smoothing velocity for Coulomb friction
+
+# Engine regularization (the reference XMLs specify no joint damping; these
+# keep the undamped kp=1000 position servos well-behaved under explicit
+# integration and emulate MuJoCo's stiff joint-limit constraints)
+JOINT_DAMPING: float = 1.0  # N m s/rad on every robot joint
+LIMIT_STIFFNESS: float = 2000.0
+LIMIT_DAMPING: float = 5.0

@@ -143,16 +143,112 @@ def gravity_potential(model: RobotModel, qpos: jax.Array, g: float = 9.81) -> ja
     return g * jnp.sum(m * com_w[:, 2])
 
 
-def bias_forces(model: RobotModel, qpos: jax.Array, qvel: jax.Array) -> jax.Array:
+def bias_forces_ad(model: RobotModel, qpos: jax.Array, qvel: jax.Array) -> jax.Array:
     """qfrc_bias = C(q,v)v + g(q), via autodiff of the Lagrangian.
 
     Coriolis: C v = dM/dt v - 1/2 d(v^T M v)/dq, with dM/dt v computed as a
-    single jvp of q -> M(q) v along qdot. Gravity: dU/dq. This trades the
-    hand-derived RNEA recursion for two AD passes over the (already
-    MXU-friendly) mass-matrix builder -- exactness follows from FK exactness.
+    single jvp of q -> M(q) v along qdot. Gravity: dU/dq. Kept as the slow
+    test oracle for the hand-rolled RNEA below (exactness follows from FK
+    exactness); the engine uses `bias_forces`.
     """
     Mv = lambda q: mass_matrix(model, q) @ qvel
     dM_dt_v = jax.jvp(Mv, (qpos,), (qvel,))[1]
     dT_dq = jax.grad(lambda q: 0.5 * qvel @ mass_matrix(model, q) @ qvel)(qpos)
     dU_dq = jax.grad(lambda q: gravity_potential(model, q))(qpos)
     return dM_dt_v - dT_dq + dU_dq
+
+
+def bias_forces(model: RobotModel, qpos: jax.Array, qvel: jax.Array) -> jax.Array:
+    """qfrc_bias = C(q,v)v + g(q) via recursive Newton-Euler with qacc = 0.
+
+    Explicit unrolled two-pass recursion over the (static, <=20 joint) tree:
+    ~100x cheaper than the AD-of-Lagrangian formulation because it avoids
+    reverse-mode through the FK unroll. Gravity enters as a fictitious base
+    acceleration -g (standard RNEA trick). Replaces the bias portion of
+    MuJoCo's mj_step smooth-dynamics stage (reference env_sim.py:196-200).
+    """
+    dt = qpos.dtype
+    jp = jnp.asarray(model.jnt_pos, dtype=dt)
+    jq = jnp.asarray(model.jnt_quat, dtype=dt)
+    g = jnp.array([0.0, 0.0, -9.81], dtype=dt)
+
+    # ---- forward pass: world kinematics, velocities, accelerations ----
+    x, q, axis = [], [], []  # joint origin, orientation, world axis
+    w, v = [], []  # body angular / joint-origin linear velocity
+    alpha, a = [], []  # angular / linear acceleration (qacc = 0)
+    z3 = jnp.zeros(3, dtype=dt)
+    for i in range(model.nq):
+        par = int(model.parent[i])
+        if par < 0:
+            xp, qp = z3, jnp.array([1.0, 0, 0, 0], dtype=dt)
+            wp, vp, alp, ap = z3, z3, z3, -g  # base "accelerates" at -g
+        else:
+            xp, qp = x[par], q[par]
+            wp, vp, alp, ap = w[par], v[par], alpha[par], a[par]
+        r = rot.quat_rotate(qp, jp[i])
+        xi = xp + r
+        qi = rot.quat_mul(qp, jq[i])
+        # velocity/acceleration of the attachment point on the parent body
+        vi = vp + jnp.cross(wp, r)
+        ai = ap + jnp.cross(alp, r) + jnp.cross(wp, jnp.cross(wp, r))
+        if int(model.jnt_type[i]) == HINGE:
+            half = 0.5 * qpos[i]
+            qz = jnp.stack([jnp.cos(half), jnp.zeros_like(half), jnp.zeros_like(half), jnp.sin(half)])
+            qi = rot.quat_mul(qi, qz)
+            ax = rot.quat_rotate(qi, jnp.array([0.0, 0, 1.0], dtype=dt))
+            wi = wp + ax * qvel[i]
+            ali = alp + jnp.cross(wp, ax * qvel[i])
+        else:  # SLIDE along local z
+            ax = rot.quat_rotate(qi, jnp.array([0.0, 0, 1.0], dtype=dt))
+            xi = xi + ax * qpos[i]
+            wi = wp
+            ali = alp
+            # the joint origin rides the slide: r_eff = r + a qpos, and the
+            # axis itself rotates with the parent
+            vi = vp + jnp.cross(wp, r + ax * qpos[i]) + ax * qvel[i]
+            ai = (
+                ap
+                + jnp.cross(alp, r + ax * qpos[i])
+                + jnp.cross(wp, jnp.cross(wp, r + ax * qpos[i]))
+                + 2.0 * jnp.cross(wp, ax * qvel[i])
+            )
+        x.append(xi)
+        q.append(qi)
+        axis.append(ax)
+        w.append(wi)
+        v.append(vi)
+        alpha.append(ali)
+        a.append(ai)
+
+    # ---- body-frame inertial loads at each COM ----
+    m = jnp.asarray(model.body_mass, dtype=dt)
+    I_diag = jnp.asarray(model.body_inertia, dtype=dt)
+    com_l = jnp.asarray(model.body_com, dtype=dt)
+    f_net, n_net = [], []  # force at COM, moment about COM
+    for i in range(model.nq):
+        c = rot.quat_rotate(q[i], com_l[i])  # world COM offset from joint origin
+        a_com = a[i] + jnp.cross(alpha[i], c) + jnp.cross(w[i], jnp.cross(w[i], c))
+        R = rot.quat_to_mat(q[i])
+        Iw = R @ (I_diag[i][:, None] * R.T)
+        f_net.append(m[i] * a_com)
+        n_net.append(Iw @ alpha[i] + jnp.cross(w[i], Iw @ w[i]))
+
+    # ---- backward pass: accumulate wrenches to parents ----
+    F = [None] * model.nq  # total force transmitted through joint i
+    N = [None] * model.nq  # total moment about joint i's origin
+    tau = [None] * model.nq
+    for i in range(model.nq - 1, -1, -1):
+        c = rot.quat_rotate(q[i], com_l[i])
+        Fi = f_net[i]
+        Ni = n_net[i] + jnp.cross(c, f_net[i])
+        for ch in range(i + 1, model.nq):
+            if int(model.parent[ch]) == i:
+                Fi = Fi + F[ch]
+                Ni = Ni + N[ch] + jnp.cross(x[ch] - x[i], F[ch])
+        F[i] = Fi
+        N[i] = Ni
+        if int(model.jnt_type[i]) == HINGE:
+            tau[i] = jnp.dot(axis[i], Ni)
+        else:
+            tau[i] = jnp.dot(axis[i], Fi)
+    return jnp.stack(tau)
