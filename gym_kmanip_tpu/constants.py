@@ -214,6 +214,34 @@ REWARD_LIFT_CUBE: float = 1.0
 XYZW_2_WXYZ: NDArray = np.array([3, 0, 1, 2])
 WXYZ_2_XYZW: NDArray = np.array([1, 2, 3, 0])
 
+# MuJoCo <-> Vuer frame conversions for VR teleop (reference
+# gym_kmanip/__init__.py:214-241). Host-side utilities (scipy Rotation);
+# the device-side math lives in utils/rotations.py.
+from scipy.spatial.transform import Rotation as R  # noqa: E402
+
+MJ_TO_VUER_ROT: "R" = R.from_euler("z", np.pi) * R.from_euler("x", np.pi / 2)
+VUER_TO_MJ_ROT: "R" = MJ_TO_VUER_ROT.inv()
+
+
+def mj2vuer_pos(pos: NDArray) -> NDArray:
+    return MJ_TO_VUER_ROT.apply(pos)
+
+
+def mj2vuer_orn(orn: NDArray, offset: NDArray = None) -> NDArray:
+    rot = R.from_quat(orn[XYZW_2_WXYZ]) * MJ_TO_VUER_ROT
+    if offset is not None:
+        rot = R.from_quat(offset[XYZW_2_WXYZ]) * rot
+    return rot.as_euler("xyz")
+
+
+def vuer2mj_pos(pos: NDArray) -> NDArray:
+    return VUER_TO_MJ_ROT.apply(pos)
+
+
+def vuer2mj_orn(orn: "R") -> NDArray:
+    rot = orn * VUER_TO_MJ_ROT
+    return rot.as_quat()[WXYZ_2_XYZW]
+
 # Vuer teleop
 VUER_IMG_QUALITY: int = 20
 

@@ -71,7 +71,8 @@ def substep(model: RobotModel, state: SimState, dt: float) -> Tuple[SimState, ja
     """One physics substep. Returns (new_state, touch (T,) tip-cube bools)."""
     q, v = state.qpos, state.qvel
 
-    xpos, xquat, axis_w = kin.fk(model, q)
+    # single forward pass: world frames + bias forces (RNEA)
+    xpos, xquat, axis_w, tau_bias = kin.rnea_terms(model, q, v)
     tip_pos, tip_vel, tip_jac, tip_rad = _tip_state(model, xpos, xquat, axis_w, v)
 
     con = contacts.contact_forces(
@@ -93,10 +94,9 @@ def substep(model: RobotModel, state: SimState, dt: float) -> Tuple[SimState, ja
     fl = jnp.asarray(model.jnt_frictionloss, dtype=q.dtype)
     tau_fric = -fl * jnp.tanh(v / 0.01) - k.JOINT_DAMPING * v
     tau_contact = jnp.einsum("taj,ta->j", tip_jac, con.tip_forces)
-    tau_bias = kin.bias_forces(model, q, v)
 
     tau = tau_act + tau_fric + tau_contact + _limit_torque(model, q, v) - tau_bias
-    M = kin.mass_matrix(model, q)
+    M = kin.mass_matrix_from_frames(model, xpos, xquat, axis_w)
     L = jnp.linalg.cholesky(M)
     qacc = jax.scipy.linalg.cho_solve((L, True), tau)
 

@@ -1,0 +1,205 @@
+"""Jitted task core: action decode -> IK -> physics -> obs -> reward.
+
+TPU-native equivalent of KManipTask (dm_control base.Task at
+/root/reference/gym_kmanip/env_sim.py:18-179). The entire control step --
+gripper/EE/qpos action decoding (before_step, env_sim.py:38-108), the IK
+solves, 10 physics substeps, observation extraction (get_observation,
+env_sim.py:110-146) and reward (get_reward, env_sim.py:148-179) -- is ONE
+compiled XLA program per env configuration, instead of a Python round-trip
+into native MuJoCo per stage.
+
+Everything here is pure: `make_task(cfg)` returns jitted (reset_fn, step_fn)
+closures over the static model + config. The Gym shell in env_base.py owns
+RNG, logging and numpy casting.
+"""
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_kmanip_tpu import constants as k
+from gym_kmanip_tpu.dynamics.engine import control_step
+from gym_kmanip_tpu.dynamics.state import SimState
+from gym_kmanip_tpu.models import get_model
+from gym_kmanip_tpu.models.spec import RobotModel
+from gym_kmanip_tpu.ops import kinematics as kin
+from gym_kmanip_tpu.solvers.ik import ik
+from gym_kmanip_tpu.utils import rotations as rot
+
+# Fix-and-document (SURVEY.md §2.2): the reference's touch/lift reward scans
+# for geoms named left/right_gripper_finger which do not exist in its shipped
+# XMLs, so those terms never fire there. Our fingertip geoms exist, so the
+# code's contract works as written. Set False for strict reference-observable
+# parity (reward = vel penalty + distance shaping only).
+CONTACT_REWARD_ENABLED: bool = True
+
+
+class TaskOut(NamedTuple):
+    state: SimState
+    obs: Dict[str, jax.Array]
+    reward: jax.Array
+    mocap_pos: jax.Array  # (n_mocap, 3) decoded EE goals (parity with mocap)
+    mocap_quat: jax.Array  # (n_mocap, 4)
+
+
+def _site_euler(model, qpos, site_name):
+    xpos, xquat, _ = kin.fk(model, qpos)
+    p, q = kin.site_pose(model, xpos, xquat, site_name)
+    return p, q, rot.quat_to_euler_xyz(q)
+
+
+def _decode_action(
+    model: RobotModel, cfg, state: SimState, action: Dict[str, jax.Array]
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """before_step (env_sim.py:38-108): action dict -> ctrl vector + mocap."""
+    qpos = state.qpos
+    ctrl = state.ctrl
+    mocap_pos = jnp.asarray(model.mocap_pos0, dtype=qpos.dtype)
+    mocap_quat = jnp.asarray(model.mocap_quat0, dtype=qpos.dtype)
+
+    if "grip_r" in cfg.act_list:
+        gid = tuple(int(i) for i in cfg.ctrl_id_r_grip)
+        # quirk parity: the reference indexes qpos with the *ctrl* id
+        # (env_sim.py:45) -- identical here because actuator i drives joint i
+        grip = action["grip_r"][0] * k.EE_S_DELTA + qpos[gid[0]]
+        grip = jnp.clip(grip, k.EE_S_MIN, k.EE_S_MAX)
+        ctrl = ctrl.at[gid[0]].set(grip).at[gid[1]].set(grip)
+    if "grip_l" in cfg.act_list:
+        gid = tuple(int(i) for i in cfg.ctrl_id_l_grip)
+        grip = action["grip_l"][0] * k.EE_S_DELTA + qpos[gid[0]]
+        grip = jnp.clip(grip, k.EE_S_MIN, k.EE_S_MAX)
+        ctrl = ctrl.at[gid[0]].set(grip).at[gid[1]].set(grip)
+
+    q_home = jnp.asarray(cfg.q_pos_home, dtype=qpos.dtype)
+
+    if "eer_pos" in cfg.act_list:
+        p, q, eul = _site_euler(model, qpos, "eer_site")
+        goal_pos = action["eer_pos"] * jnp.asarray(k.EE_POS_DELTA, dtype=qpos.dtype) + p
+        goal_orn = rot.euler_xyz_to_quat(
+            action["eer_orn"] * jnp.asarray(k.EE_ORN_DELTA, dtype=qpos.dtype) + eul
+        )
+        mocap_pos = mocap_pos.at[k.MOCAP_ID_R].set(goal_pos)
+        mocap_quat = mocap_quat.at[k.MOCAP_ID_R].set(goal_orn)
+        mask = tuple(int(i) for i in cfg.q_id_r_mask)
+        q_sol = ik(
+            model, qpos, goal_pos, goal_orn, q_home, qpos,
+            q_mask=mask, site_name="eer_site",
+        )
+        ctrl = ctrl.at[jnp.asarray(mask)].set(q_sol)
+    if "eel_pos" in cfg.act_list:
+        p, q, eul = _site_euler(model, qpos, "eel_site")
+        goal_pos = action["eel_pos"] * jnp.asarray(k.EE_POS_DELTA, dtype=qpos.dtype) + p
+        goal_orn = rot.euler_xyz_to_quat(
+            action["eel_orn"] * jnp.asarray(k.EE_ORN_DELTA, dtype=qpos.dtype) + eul
+        )
+        mocap_pos = mocap_pos.at[k.MOCAP_ID_L].set(goal_pos)
+        mocap_quat = mocap_quat.at[k.MOCAP_ID_L].set(goal_orn)
+        mask = tuple(int(i) for i in cfg.q_id_l_mask)
+        q_sol = ik(
+            model, qpos, goal_pos, goal_orn, q_home, qpos,
+            q_mask=mask, site_name="eel_site",
+        )
+        ctrl = ctrl.at[jnp.asarray(mask)].set(q_sol)
+
+    if "q_pos_r" in cfg.act_list:
+        mask = jnp.asarray(tuple(int(i) for i in cfg.q_id_r_mask))
+        ctrl = ctrl.at[mask].set(qpos[mask] + action["q_pos_r"] * k.Q_POS_DELTA)
+    if "q_pos_l" in cfg.act_list:
+        mask = jnp.asarray(tuple(int(i) for i in cfg.q_id_l_mask))
+        ctrl = ctrl.at[mask].set(qpos[mask] + action["q_pos_l"] * k.Q_POS_DELTA)
+
+    # exponential ctrl filter (env_sim.py:106; CTRL_ALPHA=1 -> passthrough)
+    ctrl = k.CTRL_ALPHA * ctrl + (1 - k.CTRL_ALPHA) * state.ctrl
+    return ctrl, mocap_pos, mocap_quat
+
+
+def _observe(model: RobotModel, cfg, state: SimState) -> Dict[str, jax.Array]:
+    """get_observation (env_sim.py:110-146), state part only; cameras are
+    rendered by the env shell via gym_kmanip_tpu.render."""
+    obs = {}
+    lo = jnp.asarray(model.jnt_range[:, 0], dtype=state.qpos.dtype)
+    hi = jnp.asarray(model.jnt_range[:, 1], dtype=state.qpos.dtype)
+    if "q_pos" in cfg.obs_list:
+        q = (state.qpos - lo) / (hi - lo)
+        obs["q_pos"] = jnp.clip(q, -1.0, 1.0)
+    if "q_vel" in cfg.obs_list:
+        obs["q_vel"] = jnp.clip(state.qvel / k.MAX_Q_VEL, -1.0, 1.0)
+    if "cube_pos" in cfg.obs_list:
+        rng = jnp.asarray(k.CUBE_SPAWN_RANGE, dtype=state.qpos.dtype)
+        c = (state.cube_pos - rng[:, 0]) / (rng[:, 1] - rng[:, 0])
+        obs["cube_pos"] = jnp.clip(c, -1.0, 1.0)
+    if "cube_orn" in cfg.obs_list:
+        obs["cube_orn"] = state.cube_quat
+    return obs
+
+
+def _reward(model: RobotModel, cfg, state: SimState, aux) -> jax.Array:
+    """get_reward (env_sim.py:148-179)."""
+    qvel_full = jnp.concatenate([state.qvel, state.cube_linvel, state.cube_angvel])
+    r = -k.REWARD_VEL_PENALTY * jnp.linalg.norm(qvel_full)
+    if "grip_l" in cfg.act_list:
+        i = model.site_index("eel_site")
+        dist = jnp.linalg.norm(state.cube_pos - aux.site_pos[i])
+        r = r + k.REWARD_GRIP_DIST / (dist + k.EPSILON)
+    if "grip_r" in cfg.act_list:
+        i = model.site_index("eer_site")
+        dist = jnp.linalg.norm(state.cube_pos - aux.site_pos[i])
+        r = r + k.REWARD_GRIP_DIST / (dist + k.EPSILON)
+    if CONTACT_REWARD_ENABLED:
+        touched = aux.touch_r | aux.touch_l
+        r = r + jnp.where(touched, k.REWARD_TOUCH_CUBE, 0.0)
+        r = r + jnp.where(touched & ~aux.touch_table, k.REWARD_LIFT_CUBE, 0.0)
+    return r
+
+
+def make_task(cfg):
+    """Build (reset_fn, step_fn) jitted closures for one env config.
+
+    reset_fn(cube_pos) -> TaskOut at the home state with the cube spawned at
+    `cube_pos` (the env shell samples it: np.random.uniform over
+    CUBE_SPAWN_RANGE, matching initialize_episode env_sim.py:31-35).
+    step_fn(state, action_dict) -> TaskOut.
+    """
+    model = get_model(cfg.mjcf_filename)
+
+    def reset_fn(cube_pos: jax.Array) -> TaskOut:
+        from gym_kmanip_tpu.dynamics.state import init_state
+
+        state = init_state(model, cube_pos=cube_pos)
+        xpos, xquat, _ = kin.fk(model, state.qpos)
+        sp, sq = [], []
+        for s in model.sites:
+            p, qu = kin.site_pose(model, xpos, xquat, s.name)
+            sp.append(p)
+            sq.append(qu)
+        from gym_kmanip_tpu.dynamics.state import StepAux
+
+        aux = StepAux(
+            touch_r=jnp.asarray(False),
+            touch_l=jnp.asarray(False),
+            touch_table=jnp.asarray(True),
+            site_pos=jnp.stack(sp),
+            site_quat=jnp.stack(sq),
+            qfrc_contact=jnp.zeros_like(state.qvel),
+        )
+        obs = _observe(model, cfg, state)
+        reward = _reward(model, cfg, state, aux)
+        return TaskOut(
+            state=state,
+            obs=obs,
+            reward=reward,
+            mocap_pos=jnp.asarray(model.mocap_pos0, dtype=state.qpos.dtype),
+            mocap_quat=jnp.asarray(model.mocap_quat0, dtype=state.qpos.dtype),
+        )
+
+    def step_fn(state: SimState, action: Dict[str, jax.Array]) -> TaskOut:
+        ctrl, mocap_pos, mocap_quat = _decode_action(model, cfg, state, action)
+        state, aux = control_step(model, state, ctrl)
+        obs = _observe(model, cfg, state)
+        reward = _reward(model, cfg, state, aux)
+        return TaskOut(state, obs, reward, mocap_pos, mocap_quat)
+
+    return jax.jit(reset_fn), jax.jit(step_fn), model

@@ -1,0 +1,80 @@
+"""Cost library for trajectory optimization / sampling MPC.
+
+The cube-pick running cost is the negated shaped reward of the reference
+task (get_reward, /root/reference/gym_kmanip/env_sim.py:148-179): velocity
+penalty, inverse-distance gripper shaping, touch/lift bonuses -- plus
+smooth optional terms (EE goal tracking, control effort) that the
+optimizers need but the reference env never exposed.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gym_kmanip_tpu import constants as k
+from gym_kmanip_tpu.dynamics.state import SimState, StepAux
+from gym_kmanip_tpu.models.spec import RobotModel
+
+
+class CostParams(NamedTuple):
+    """Weights for the cube-pick running cost."""
+
+    w_vel: jax.Array = jnp.asarray(k.REWARD_VEL_PENALTY)
+    w_grip_dist: jax.Array = jnp.asarray(k.REWARD_GRIP_DIST)
+    w_touch: jax.Array = jnp.asarray(k.REWARD_TOUCH_CUBE)
+    w_lift: jax.Array = jnp.asarray(k.REWARD_LIFT_CUBE)
+    w_ctrl: jax.Array = jnp.asarray(1e-3)  # smooth control-effort term
+    # optional EE goal (for tracking-style tasks); NaN disables
+    ee_goal: jax.Array = jnp.full((3,), jnp.nan)
+    w_ee_goal: jax.Array = jnp.asarray(10.0)
+
+
+def cube_pick_cost(
+    model: RobotModel,
+    state: SimState,
+    aux: StepAux,
+    ctrl: jax.Array,
+    params: CostParams,
+    use_right: bool = True,
+    use_left: bool = False,
+) -> jax.Array:
+    """Per-step cost = -reward(reference shape) + control regularization."""
+    qvel_full = jnp.concatenate([state.qvel, state.cube_linvel, state.cube_angvel])
+    c = params.w_vel * jnp.linalg.norm(qvel_full)
+    if use_right:
+        i = model.site_index("eer_site")
+        dist = jnp.linalg.norm(state.cube_pos - aux.site_pos[i])
+        c = c - params.w_grip_dist / (dist + k.EPSILON)
+    if use_left:
+        i = model.site_index("eel_site")
+        dist = jnp.linalg.norm(state.cube_pos - aux.site_pos[i])
+        c = c - params.w_grip_dist / (dist + k.EPSILON)
+    touched = aux.touch_r | aux.touch_l
+    c = c - jnp.where(touched, params.w_touch, 0.0)
+    c = c - jnp.where(touched & ~aux.touch_table, params.w_lift, 0.0)
+    c = c + params.w_ctrl * jnp.sum((ctrl - state.qpos[: model.nu]) ** 2)
+
+    ee_active = ~jnp.isnan(params.ee_goal[0])
+    i = model.site_index("eer_site")
+    ee_err = jnp.sum((aux.site_pos[i] - jnp.nan_to_num(params.ee_goal)) ** 2)
+    c = c + jnp.where(ee_active, params.w_ee_goal * ee_err, 0.0)
+    return c
+
+
+def ee_tracking_cost(
+    model: RobotModel,
+    state: SimState,
+    aux: StepAux,
+    ctrl: jax.Array,
+    goal_pos: jax.Array,
+    w_pos: float = 100.0,
+    w_vel: float = 0.01,
+    w_ctrl: float = 1e-3,
+) -> jax.Array:
+    """Pure EE goal-reaching cost (for BASELINE's EE tracking metric)."""
+    i = model.site_index("eer_site")
+    c = w_pos * jnp.sum((aux.site_pos[i] - goal_pos) ** 2)
+    c = c + w_vel * jnp.sum(state.qvel**2)
+    c = c + w_ctrl * jnp.sum((ctrl - state.qpos[: model.nu]) ** 2)
+    return c

@@ -1,0 +1,97 @@
+"""MPPI (model-predictive path integral) sampling MPC.
+
+TPU-first design (no reference analog; BASELINE north star "sampling MPC
+(MPPI) with thousands of rollouts per solve"): K perturbed control
+sequences roll out under `vmap` -- one big batched program where the tiny
+per-joint ops become (K, ...) batched GEMMs on the MXU -- then the
+information-theoretic weight update is two reductions, which `psum` extends
+across chips (gym_kmanip_tpu.parallel).
+
+Update rule (standard MPPI):
+    w_k = softmax(-(S_k - min S) / temperature)
+    U  <- U + sum_k w_k * eps_k
+with per-step control clamping to the actuator ctrlrange.
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gym_kmanip_tpu import constants as k
+from gym_kmanip_tpu.dynamics.state import SimState
+from gym_kmanip_tpu.models.spec import RobotModel
+from gym_kmanip_tpu.mpc.rollout import rollout
+
+
+class MPPIConfig(NamedTuple):
+    horizon: int = 50
+    n_samples: int = 256
+    temperature: float = 0.1
+    sigma: float = 0.05  # exploration std-dev (rad) on position targets
+    n_iters: int = 1  # optimization iterations per solve
+    n_substeps: int = 1
+    dt: float = k.CONTROL_TIMESTEP
+
+
+class MPPIState(NamedTuple):
+    nominal: jax.Array  # (H, nu) current nominal control-target sequence
+    rng: jax.Array
+
+
+def init_mppi(model: RobotModel, cfg: MPPIConfig, seed: int = 0) -> MPPIState:
+    nominal = jnp.tile(
+        jnp.asarray(model.home_qpos[: model.nu], dtype=jnp.float32), (cfg.horizon, 1)
+    )
+    return MPPIState(nominal=nominal, rng=jax.random.PRNGKey(seed))
+
+
+def mppi_solve(
+    model: RobotModel,
+    cfg: MPPIConfig,
+    mppi_state: MPPIState,
+    sim_state: SimState,
+    cost_fn: Callable,
+) -> Tuple[MPPIState, jax.Array, jax.Array]:
+    """One MPC solve. Returns (new MPPIState, first control, expected cost).
+
+    `cost_fn(state, aux, ctrl) -> scalar` is the running cost.
+    """
+    lo = jnp.asarray(model.ctrl_range[:, 0], dtype=jnp.float32)
+    hi = jnp.asarray(model.ctrl_range[:, 1], dtype=jnp.float32)
+
+    def one_iter(carry, _):
+        nominal, rng = carry
+        rng, sub = jax.random.split(rng)
+        eps = (
+            jax.random.normal(sub, (cfg.n_samples, cfg.horizon, model.nu), dtype=jnp.float32)
+            * cfg.sigma
+        )
+        cand = jnp.clip(nominal[None] + eps, lo, hi)  # (K,H,nu)
+
+        def score(u_seq):
+            cost, _ = rollout(
+                model, sim_state, u_seq, cost_fn,
+                n_substeps=cfg.n_substeps, dt=cfg.dt,
+            )
+            return cost
+
+        costs = jax.vmap(score)(cand)  # (K,)
+        w = jax.nn.softmax(-(costs - jnp.min(costs)) / cfg.temperature)
+        nominal = jnp.clip(nominal + jnp.einsum("k,khu->hu", w, eps), lo, hi)
+        return (nominal, rng), jnp.sum(w * costs)
+
+    (nominal, rng), exp_costs = jax.lax.scan(
+        one_iter, (mppi_state.nominal, mppi_state.rng), None, length=cfg.n_iters
+    )
+
+    u0 = nominal[0]
+    # receding horizon: shift, repeating the last target
+    shifted = jnp.concatenate([nominal[1:], nominal[-1:]], axis=0)
+    return MPPIState(nominal=shifted, rng=rng), u0, exp_costs[-1]
+
+
+def make_mppi_solver(model: RobotModel, cfg: MPPIConfig, cost_fn: Callable):
+    """Jitted single-chip solver: (MPPIState, SimState) -> (MPPIState, u0, J)."""
+    return jax.jit(partial(mppi_solve, model, cfg, cost_fn=cost_fn))

@@ -1,0 +1,101 @@
+"""Batched horizon rollouts: the compute core of sampling MPC.
+
+Replaces nothing in the reference (it has no MPC; SURVEY.md §2.4) -- this is
+the TPU-first extension the BASELINE north star requires: thousands of
+horizon-H rollouts of the full articulated dynamics as ONE compiled
+program, `vmap` over the rollout batch (which `shard_map` then splits over
+chips), `lax.scan` over the horizon.
+
+For speed, MPC rollouts integrate at the control rate by default
+(n_substeps=1 at dt=0.02) rather than the env's 10x2 ms; the env remains
+the high-fidelity evaluator. This is the standard model-predictive
+"coarse model / fine plant" split and is configurable.
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gym_kmanip_tpu import constants as k
+from gym_kmanip_tpu.dynamics import contacts
+from gym_kmanip_tpu.dynamics.engine import substep, _tip_state
+from gym_kmanip_tpu.dynamics.state import SimState, StepAux
+from gym_kmanip_tpu.models.spec import RobotModel
+from gym_kmanip_tpu.ops import kinematics as kin
+
+
+def mpc_step(
+    model: RobotModel, state: SimState, ctrl: jax.Array, n_substeps: int, dt: float
+) -> Tuple[SimState, StepAux]:
+    """Control step variant for rollouts: configurable substep count, and
+    the site/contact diagnostics folded into the same pass."""
+    state = state._replace(ctrl=ctrl)
+
+    def body(s, _):
+        s2, touch = substep(model, s, dt)
+        return s2, touch
+
+    state, touches = jax.lax.scan(body, state, None, length=n_substeps)
+
+    xpos, xquat, axis_w = kin.fk(model, state.qpos)
+    sp = []
+    sq = []
+    for s in model.sites:
+        p, qu = kin.site_pose(model, xpos, xquat, s.name)
+        sp.append(p)
+        sq.append(qu)
+    touch_last = touches[-1]
+    sides_r = jnp.asarray([t.side == "r" for t in model.fingertips])
+    sides_l = jnp.asarray([t.side == "l" for t in model.fingertips])
+    _, _, touch_table = contacts.cube_table(
+        state.cube_pos, state.cube_quat, state.cube_linvel, state.cube_angvel
+    )
+    aux = StepAux(
+        touch_r=jnp.any(touch_last & sides_r),
+        touch_l=jnp.any(touch_last & sides_l),
+        touch_table=touch_table,
+        site_pos=jnp.stack(sp),
+        site_quat=jnp.stack(sq),
+        qfrc_contact=jnp.zeros_like(state.qvel),
+    )
+    return state, aux
+
+
+def rollout(
+    model: RobotModel,
+    state0: SimState,
+    ctrl_seq: jax.Array,  # (H, nu)
+    cost_fn: Callable,  # (state, aux, ctrl) -> scalar
+    n_substeps: int = 1,
+    dt: float = k.CONTROL_TIMESTEP,
+) -> Tuple[jax.Array, SimState]:
+    """Roll a control sequence; returns (total_cost, final_state)."""
+
+    def body(s, ctrl):
+        s2, aux = mpc_step(model, s, ctrl, n_substeps, dt)
+        c = cost_fn(s2, aux, ctrl)
+        return s2, c
+
+    state_f, costs = jax.lax.scan(body, state0, ctrl_seq)
+    return jnp.sum(costs), state_f
+
+
+def rollout_with_traj(
+    model: RobotModel,
+    state0: SimState,
+    ctrl_seq: jax.Array,
+    cost_fn: Callable,
+    n_substeps: int = 1,
+    dt: float = k.CONTROL_TIMESTEP,
+) -> Tuple[jax.Array, SimState, jax.Array]:
+    """Like `rollout` but also returns the per-step cost trace (H,)."""
+
+    def body(s, ctrl):
+        s2, aux = mpc_step(model, s, ctrl, n_substeps, dt)
+        c = cost_fn(s2, aux, ctrl)
+        return s2, (c, s2.qpos)
+
+    state_f, (costs, qs) = jax.lax.scan(body, state0, ctrl_seq)
+    return jnp.sum(costs), state_f, costs

@@ -159,13 +159,25 @@ def bias_forces_ad(model: RobotModel, qpos: jax.Array, qvel: jax.Array) -> jax.A
 
 
 def bias_forces(model: RobotModel, qpos: jax.Array, qvel: jax.Array) -> jax.Array:
-    """qfrc_bias = C(q,v)v + g(q) via recursive Newton-Euler with qacc = 0.
+    """qfrc_bias = C(q,v)v + g(q); see `rnea_terms`."""
+    return rnea_terms(model, qpos, qvel)[3]
 
+
+def rnea_terms(
+    model: RobotModel, qpos: jax.Array, qvel: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One forward pass returning (xpos, xquat, axis_w, qfrc_bias).
+
+    qfrc_bias = C(q,v)v + g(q) via recursive Newton-Euler with qacc = 0.
     Explicit unrolled two-pass recursion over the (static, <=20 joint) tree:
     ~100x cheaper than the AD-of-Lagrangian formulation because it avoids
     reverse-mode through the FK unroll. Gravity enters as a fictitious base
     acceleration -g (standard RNEA trick). Replaces the bias portion of
     MuJoCo's mj_step smooth-dynamics stage (reference env_sim.py:196-200).
+
+    Returning the world kinematics alongside the bias lets the engine run
+    FK exactly once per substep (it is also needed for contacts, Jacobians
+    and the mass matrix).
     """
     dt = qpos.dtype
     jp = jnp.asarray(model.jnt_pos, dtype=dt)
@@ -251,4 +263,19 @@ def bias_forces(model: RobotModel, qpos: jax.Array, qvel: jax.Array) -> jax.Arra
             tau[i] = jnp.dot(axis[i], Ni)
         else:
             tau[i] = jnp.dot(axis[i], Fi)
-    return jnp.stack(tau)
+    return jnp.stack(x), jnp.stack(q), jnp.stack(axis), jnp.stack(tau)
+
+
+def mass_matrix_from_frames(
+    model: RobotModel, xpos: jax.Array, xquat: jax.Array, axis_w: jax.Array
+) -> jax.Array:
+    """Joint-space inertia M(q) from precomputed world frames (no FK)."""
+    _, jv, jw = body_jacobians(model, xpos, xquat, axis_w)
+    m = jnp.asarray(model.body_mass, dtype=xpos.dtype)
+    I_diag = jnp.asarray(model.body_inertia, dtype=xpos.dtype)
+    R = rot.quat_to_mat(xquat)
+    Iw = jnp.einsum("iab,ib,icb->iac", R, I_diag, R)
+    M = jnp.einsum("iaj,i,iak->jk", jv, m, jv) + jnp.einsum(
+        "iaj,iab,ibk->jk", jw, Iw, jw
+    )
+    return M + jnp.diag(jnp.asarray(model.armature, dtype=xpos.dtype))

@@ -1,0 +1,117 @@
+"""Device mesh + sharded MPPI rollout fan-out.
+
+The reference has zero distributed machinery (SURVEY.md §2.4); this module
+is the TPU-first scaling layer: a 1-D ('rollout',) mesh over all chips,
+`shard_map` splitting the MPPI sample batch, and XLA collectives doing the
+cross-chip reductions (`pmin`/`psum` over ICI -- only scalars and the
+(H, nu) weighted update cross chips, never rollout trajectories).
+
+Multi-host: call `init_distributed()` (jax.distributed.initialize) before
+building the mesh; the same code then spans hosts with DCN handling the
+inter-host segments of the collectives.
+"""
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gym_kmanip_tpu.dynamics.state import SimState
+from gym_kmanip_tpu.models.spec import RobotModel
+from gym_kmanip_tpu.mpc.mppi import MPPIConfig, MPPIState
+from gym_kmanip_tpu.mpc.rollout import rollout
+
+ROLLOUT_AXIS = "rollout"
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (no-op when single-process)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (ROLLOUT_AXIS,))
+
+
+def make_sharded_mppi_solver(
+    model: RobotModel,
+    cfg: MPPIConfig,
+    cost_fn: Callable,
+    mesh: Mesh,
+):
+    """Sharded MPPI solve: samples split over the rollout axis.
+
+    cfg.n_samples must divide by mesh size. Returns a jitted function
+    (MPPIState, SimState) -> (MPPIState, u0, expected_cost) whose rollouts
+    run n_samples/n_devices per chip.
+    """
+    n_dev = mesh.devices.size
+    assert cfg.n_samples % n_dev == 0, (cfg.n_samples, n_dev)
+    local_k = cfg.n_samples // n_dev
+    lo = jnp.asarray(model.ctrl_range[:, 0], dtype=jnp.float32)
+    hi = jnp.asarray(model.ctrl_range[:, 1], dtype=jnp.float32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(ROLLOUT_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,  # rollout scan carries are device-varying by design
+    )
+    def sharded_iter(nominal, sim_state, keys):
+        # keys: (1,) per-device slice of the (n_dev,) key batch
+        eps = (
+            jax.random.normal(keys[0], (local_k, cfg.horizon, model.nu), dtype=jnp.float32)
+            * cfg.sigma
+        )
+        cand = jnp.clip(nominal[None] + eps, lo, hi)
+
+        def score(u_seq):
+            cost, _ = rollout(
+                model, sim_state, u_seq, cost_fn,
+                n_substeps=cfg.n_substeps, dt=cfg.dt,
+            )
+            return cost
+
+        costs = jax.vmap(score)(cand)  # (local_k,)
+        gmin = jax.lax.pmin(jnp.min(costs), ROLLOUT_AXIS)
+        w_un = jnp.exp(-(costs - gmin) / cfg.temperature)
+        z = jax.lax.psum(jnp.sum(w_un), ROLLOUT_AXIS)
+        upd = jax.lax.psum(jnp.einsum("k,khu->hu", w_un, eps), ROLLOUT_AXIS) / z
+        exp_cost = jax.lax.psum(jnp.sum(w_un * costs), ROLLOUT_AXIS) / z
+        return upd, exp_cost
+
+    def solve(mppi_state: MPPIState, sim_state: SimState):
+        nominal, rng = mppi_state.nominal, mppi_state.rng
+
+        def one_iter(carry, _):
+            nominal, rng = carry
+            rng, sub = jax.random.split(rng)
+            keys = jax.random.split(sub, n_dev)
+            upd, exp_cost = sharded_iter(nominal, sim_state, keys)
+            nominal = jnp.clip(nominal + upd, lo, hi)
+            return (nominal, rng), exp_cost
+
+        (nominal, rng), exp_costs = jax.lax.scan(
+            one_iter, (nominal, rng), None, length=cfg.n_iters
+        )
+        u0 = nominal[0]
+        shifted = jnp.concatenate([nominal[1:], nominal[-1:]], axis=0)
+        return MPPIState(nominal=shifted, rng=rng), u0, exp_costs[-1]
+
+    return jax.jit(solve)

@@ -1,0 +1,235 @@
+"""On-device camera rendering: a batched raycaster in pure JAX.
+
+TPU-native replacement for the reference's native OpenGL offscreen renders
+(`physics.render(h, w, camera_id)` at /root/reference/gym_kmanip/env_sim.py:
+140-145). The reference scene's visual meshes are .gitignored STLs
+(SURVEY.md §2.2), so geometric fidelity there is moot; what matters for the
+Vision envs is the camera contract -- same camera names, fovy, (h, w, 3)
+uint8 frames (Cam specs, reference __init__.py:143-161) -- and that the
+pixels actually reflect the simulated world state.
+
+Scene approximation: floor plane, tabletop box, the free cube (oriented
+box), robot links as spheres at joint frames, fingertip spheres. One ray per
+pixel, closest-hit over the static primitive list, Lambertian shading under
+the scene's three directional lights (scene.xml:5-7). Fully jit/vmap-able:
+a (h*w, n_primitives) intersection matrix that XLA tiles cleanly; rollout
+batches can vmap over world state for learned-cost MPC with vision.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_kmanip_tpu import constants as k
+from gym_kmanip_tpu.models.spec import CameraSpec, RobotModel
+from gym_kmanip_tpu.ops import kinematics as kin
+from gym_kmanip_tpu.utils import rotations as rot
+
+_BIG = 1e9
+
+# directional lights (scene.xml:5-7: three directional lights over the table)
+_LIGHT_DIRS = np.array(
+    [[-0.3, -0.3, -1.0], [0.5, -0.2, -0.8], [0.0, 0.5, -0.9]], dtype=np.float32
+)
+_LIGHT_DIRS /= np.linalg.norm(_LIGHT_DIRS, axis=1, keepdims=True)
+_LIGHT_W = np.array([0.5, 0.3, 0.25], dtype=np.float32)
+_AMBIENT = 0.35
+
+_SKY = np.array([0.45, 0.62, 0.82], dtype=np.float32)
+_FLOOR_A = np.array([0.45, 0.45, 0.45], dtype=np.float32)
+_FLOOR_B = np.array([0.35, 0.35, 0.38], dtype=np.float32)
+_TABLE_COLOR = np.array([0.55, 0.42, 0.28], dtype=np.float32)
+_CUBE_COLOR = np.array([0.85, 0.18, 0.15], dtype=np.float32)
+_LINK_COLOR = np.array([0.55, 0.57, 0.60], dtype=np.float32)
+_TIP_COLOR = np.array([0.25, 0.25, 0.28], dtype=np.float32)
+
+_LINK_RADIUS = 0.035
+
+_TABLE_CENTER = np.array(
+    [k.TABLE_POS[0], k.TABLE_POS[1], (k.TABLE_TOP_Z + 0.5) / 2.0], dtype=np.float32
+)
+_TABLE_HALF = np.array(
+    [k.TABLE_HALF_X, k.TABLE_HALF_Y, (k.TABLE_TOP_Z - 0.5) / 2.0], dtype=np.float32
+)
+
+
+def _ray_spheres(o, d, centers, radii):
+    """Batched ray-sphere. o,d: (P,3); centers: (S,3); radii: (S,).
+    Returns (t, normal): (P,S), (P,S,3)."""
+    oc = o[:, None, :] - centers[None, :, :]  # (P,S,3)
+    b = jnp.einsum("psk,pk->ps", oc, d)
+    c = jnp.sum(oc * oc, axis=-1) - radii[None, :] ** 2
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = -b - sq
+    t = jnp.where((disc > 0) & (t > 1e-4), t, _BIG)
+    hitp = o[:, None, :] + t[..., None] * d[:, None, :]
+    n = (hitp - centers[None, :, :]) / jnp.maximum(radii[None, :, None], 1e-9)
+    return t, n
+
+
+def _ray_box(o, d, center, R, half):
+    """Ray-OBB via the slab method in the box frame. o,d: (P,3).
+    Returns (t, normal): (P,), (P,3) world-frame."""
+    ol = (o - center) @ R  # (P,3) box frame (R columns = box axes in world)
+    dl = d @ R
+    inv = 1.0 / jnp.where(jnp.abs(dl) < 1e-9, jnp.sign(dl) * 1e-9 + 1e-12, dl)
+    t1 = (-half - ol) * inv
+    t2 = (half - ol) * inv
+    tmin = jnp.minimum(t1, t2)
+    tmax = jnp.maximum(t1, t2)
+    t_near = jnp.max(tmin, axis=-1)
+    t_far = jnp.min(tmax, axis=-1)
+    hit = (t_near < t_far) & (t_far > 1e-4) & (t_near > 1e-4)
+    t = jnp.where(hit, t_near, _BIG)
+    # normal: the axis of the max tmin
+    axis = jnp.argmax(tmin, axis=-1)  # (P,)
+    sign = -jnp.sign(jnp.take_along_axis(dl, axis[:, None], axis=-1))[:, 0]
+    n_local = jax.nn.one_hot(axis, 3, dtype=o.dtype) * sign[:, None]
+    return t, n_local @ R.T
+
+
+def _ray_floor(o, d):
+    t = -o[:, 2] / jnp.where(jnp.abs(d[:, 2]) < 1e-9, 1e-9, d[:, 2])
+    t = jnp.where((t > 1e-4) & (d[:, 2] < 0), t, _BIG)
+    return t
+
+
+def _shade(n, base_color):
+    """Lambertian under the fixed directional lights. n: (...,3)."""
+    diff = 0.0
+    for i in range(len(_LIGHT_W)):
+        ld = jnp.asarray(-_LIGHT_DIRS[i], dtype=n.dtype)
+        diff = diff + _LIGHT_W[i] * jnp.maximum(jnp.einsum("...k,k->...", n, ld), 0.0)
+    return base_color * jnp.clip(_AMBIENT + diff, 0.0, 1.0)[..., None]
+
+
+def _look_at(cam_pos, target, dtype):
+    fwd = target - cam_pos
+    fwd = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-9)
+    up = jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+    right = jnp.cross(fwd, up)
+    rn = jnp.linalg.norm(right)
+    right = jnp.where(rn > 1e-6, right / jnp.maximum(rn, 1e-9), jnp.array([1.0, 0, 0], dtype=dtype))
+    up2 = jnp.cross(right, fwd)
+    return right, up2, fwd
+
+
+def render_camera(
+    model: RobotModel,
+    cam_name: str,
+    qpos: jax.Array,
+    cube_pos: jax.Array,
+    cube_quat: jax.Array,
+    height: int,
+    width: int,
+) -> jax.Array:
+    """Render one camera view -> (h, w, 3) uint8.
+
+    Camera placement mirrors the MJCF specs: world cameras sit at fixed
+    positions targeting the table (mode="targetbody" fovy=78,
+    _env_solo_arm.xml:9-15); grip cameras ride the gripper body targeting
+    the EE site (fovy=20, arm_r_body.xml:68).
+    """
+    dt = qpos.dtype
+    cam = model.camera(cam_name)
+    xpos, xquat, _ = kin.fk(model, qpos)
+
+    if cam.parent < 0:
+        cam_pos = jnp.asarray(cam.pos, dtype=dt)
+    else:
+        cam_pos = xpos[cam.parent] + rot.quat_rotate(
+            xquat[cam.parent], jnp.asarray(cam.pos, dtype=dt)
+        )
+    if cam.target_site is not None:
+        target, _ = kin.site_pose(model, xpos, xquat, cam.target_site)
+    else:
+        target = jnp.asarray(cam.target_world, dtype=dt)
+
+    right, up, fwd = _look_at(cam_pos, target, dt)
+    half_h = jnp.tan(jnp.asarray(np.deg2rad(cam.fovy) / 2.0, dtype=dt))
+    half_w = half_h * (width / height)
+
+    ys = jnp.linspace(half_h, -half_h, height, dtype=dt)
+    xs = jnp.linspace(-half_w, half_w, width, dtype=dt)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    d = (
+        fwd[None, :]
+        + gx.reshape(-1)[:, None] * right[None, :]
+        + gy.reshape(-1)[:, None] * up[None, :]
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(cam_pos, d.shape)
+    P = d.shape[0]
+
+    # ---- primitives ----
+    tip_specs = model.fingertips
+    tip_centers = jnp.stack(
+        [
+            xpos[t.parent] + rot.quat_rotate(xquat[t.parent], jnp.asarray(t.pos, dtype=dt))
+            for t in tip_specs
+        ]
+    ) if tip_specs else jnp.zeros((0, 3), dtype=dt)
+    sph_centers = jnp.concatenate([xpos, tip_centers], axis=0)
+    sph_radii = jnp.concatenate(
+        [
+            jnp.full((model.nq,), _LINK_RADIUS, dtype=dt),
+            jnp.asarray([t.radius for t in tip_specs], dtype=dt)
+            if tip_specs
+            else jnp.zeros((0,), dtype=dt),
+        ]
+    )
+    sph_colors = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.asarray(_LINK_COLOR, dtype=dt), (model.nq, 3)),
+            jnp.broadcast_to(jnp.asarray(_TIP_COLOR, dtype=dt), (len(tip_specs), 3)),
+        ]
+    )
+
+    t_sph, n_sph = _ray_spheres(o, d, sph_centers, sph_radii)  # (P,S)
+    t_cube, n_cube = _ray_box(
+        o, d, cube_pos, rot.quat_to_mat(cube_quat), jnp.full((3,), k.CUBE_HALF_SIZE, dtype=dt)
+    )
+    t_table, n_table = _ray_box(
+        o, d, jnp.asarray(_TABLE_CENTER, dtype=dt), jnp.eye(3, dtype=dt),
+        jnp.asarray(_TABLE_HALF, dtype=dt),
+    )
+    t_floor = _ray_floor(o, d)
+
+    # closest-hit resolution
+    t_all = jnp.concatenate(
+        [t_sph, t_cube[:, None], t_table[:, None], t_floor[:, None]], axis=1
+    )  # (P, S+3)
+    idx = jnp.argmin(t_all, axis=1)
+    t_best = jnp.min(t_all, axis=1)
+    S = sph_centers.shape[0]
+
+    # shaded colors per primitive family
+    c_sph = _shade(n_sph, sph_colors[None, :, :])  # (P,S,3)
+    c_cube = _shade(n_cube, jnp.asarray(_CUBE_COLOR, dtype=dt))  # (P,3)
+    c_table = _shade(n_table, jnp.asarray(_TABLE_COLOR, dtype=dt))
+    hitp = o + t_floor[:, None] * d
+    checker = ((jnp.floor(hitp[:, 0] * 2) + jnp.floor(hitp[:, 1] * 2)) % 2).astype(dt)
+    c_floor = (
+        checker[:, None] * jnp.asarray(_FLOOR_A, dtype=dt)
+        + (1 - checker[:, None]) * jnp.asarray(_FLOOR_B, dtype=dt)
+    )
+
+    c_all = jnp.concatenate(
+        [c_sph, c_cube[:, None, :], c_table[:, None, :], c_floor[:, None, :]], axis=1
+    )  # (P, S+3, 3)
+    color = jnp.take_along_axis(c_all, idx[:, None, None], axis=1)[:, 0, :]
+    color = jnp.where(t_best[:, None] >= _BIG, jnp.asarray(_SKY, dtype=dt), color)
+
+    img = jnp.clip(color.reshape(height, width, 3) * 255.0, 0, 255).astype(jnp.uint8)
+    return img
+
+
+def make_render_fn(model: RobotModel, cam_name: str, height: int, width: int):
+    """Jitted renderer for one camera, closed over static geometry."""
+    return jax.jit(
+        partial(render_camera, model, cam_name, height=height, width=width)
+    )
