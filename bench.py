@@ -26,22 +26,32 @@ N_SOLVES = 20
 
 
 def main():
+    from gym_kmanip_tpu.mpc.mppi import mppi_solve
+
     model = get_model("solo_arm")
     params = CostParams()
     cost_fn = lambda s, aux, u: cube_pick_cost(model, s, aux, u, params)
     cfg = MPPIConfig(horizon=HORIZON, n_samples=N_SAMPLES, n_iters=1, n_substeps=1)
-    solver = make_mppi_solver(model, cfg, cost_fn)
     mppi_state = init_mppi(model, cfg)
     sim_state = init_state(model)
 
-    # compile
-    mppi_state, u0, _ = solver(mppi_state, sim_state)
-    jax.block_until_ready(u0)
+    # the production MPC loop lives on-device: N receding-horizon solves as
+    # one scanned program (no host round-trip per solve)
+    @jax.jit
+    def run_solves(mppi_state, sim_state):
+        def body(ms, _):
+            ms2, u0, J = mppi_solve(model, cfg, ms, sim_state, cost_fn)
+            return ms2, J
+
+        ms, Js = jax.lax.scan(body, mppi_state, None, length=N_SOLVES)
+        return ms, Js
+
+    ms, Js = run_solves(mppi_state, sim_state)  # compile
+    jax.block_until_ready(Js)
 
     t0 = time.time()
-    for _ in range(N_SOLVES):
-        mppi_state, u0, _ = solver(mppi_state, sim_state)
-    jax.block_until_ready(u0)
+    ms, Js = run_solves(mppi_state, sim_state)
+    jax.block_until_ready(Js)
     dt = (time.time() - t0) / N_SOLVES
     solves_per_sec = 1.0 / dt
 

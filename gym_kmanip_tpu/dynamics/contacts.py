@@ -105,11 +105,15 @@ def sphere_box(
     """
     clamped = jnp.clip(center_local, -half, half)
     delta = center_local - clamped
-    dist = jnp.linalg.norm(delta)
-    outside = dist > 1e-9
+    # double-where safe norm: delta == 0 whenever the center is inside the
+    # box, and norm's NaN derivative there would leak through `where` into
+    # iLQR's jacfwd of in-contact states
+    sq = jnp.sum(delta * delta)
+    outside = sq > 1e-18
+    dist = jnp.sqrt(jnp.where(outside, sq, 1.0))
 
     # outside: usual closest-point normal
-    n_out = delta / jnp.maximum(dist, 1e-9)
+    n_out = delta / dist
     pen_out = radius - dist
 
     # inside: exit through the face with the smallest remaining distance

@@ -28,6 +28,7 @@ from gym_kmanip_tpu.dynamics import contacts
 from gym_kmanip_tpu.dynamics.state import SimState, StepAux
 from gym_kmanip_tpu.models.spec import RobotModel
 from gym_kmanip_tpu.ops import kinematics as kin
+from gym_kmanip_tpu.ops import linalg
 from gym_kmanip_tpu.utils import rotations as rot
 
 _CUBE_INV_MASS = 1.0 / k.CUBE_MASS
@@ -39,6 +40,11 @@ def _tip_state(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """World fingertip positions, velocities, and translational Jacobians."""
     tips = model.fingertips
+    if not tips:  # custom robots without gripper collision spheres
+        z = jnp.zeros((0, 3), dtype=qvel.dtype)
+        return z, z, jnp.zeros((0, 3, model.nq), dtype=qvel.dtype), jnp.zeros(
+            (0,), dtype=qvel.dtype
+        )
     pos, jac, rad = [], [], []
     for t in tips:
         p = xpos[t.parent] + rot.quat_rotate(
@@ -67,23 +73,58 @@ def _limit_torque(model: RobotModel, qpos, qvel) -> jax.Array:
     )
 
 
-def substep(model: RobotModel, state: SimState, dt: float) -> Tuple[SimState, jax.Array]:
-    """One physics substep. Returns (new_state, touch (T,) tip-cube bools)."""
+def substep(
+    model: RobotModel,
+    state: SimState,
+    dt: float,
+    contact: bool = True,
+    unrolled_solve: bool = True,
+    implicit_actuation: bool = False,
+) -> Tuple[SimState, jax.Array]:
+    """One physics substep. Returns (new_state, touch (T,) tip-cube bools).
+
+    `contact` is a static flag: False compiles a free-space program (no
+    cube/table/fingertip forces) -- used for reach-only MPC rollouts and
+    for dynamics parity tests against contact-free MuJoCo traces.
+
+    `unrolled_solve` picks the mass-matrix solve: the trace-time-unrolled
+    Cholesky (ops/linalg) batches ~1.7x faster on TPU than the lowered
+    lapack-style routine (72.6 vs 43.2 MPPI solves/s at K=256 H=50), but
+    emits a bigger graph -- differentiating callers (iLQR's jacfwd
+    linearization) set False to keep compile times sane.
+
+    `implicit_actuation` applies the "stable PD" discretization (Tan et al.):
+    the servo stiffness is integrated implicitly by adding dt^2 diag(kp) to
+    the mass matrix and dt kp v to the force. At the env's 2 ms substeps the
+    explicit servos are stable (dt*w <= 0.6) and this stays False for exact
+    MuJoCo parity; the MPC fast path integrates at dt = 20 ms where kp=1000
+    on low-inertia distal joints gives dt*w ~ 4-6 (explicitly UNSTABLE), so
+    rollouts turn it on.
+    """
     q, v = state.qpos, state.qvel
 
     # single forward pass: world frames + bias forces (RNEA)
     xpos, xquat, axis_w, tau_bias = kin.rnea_terms(model, q, v)
     tip_pos, tip_vel, tip_jac, tip_rad = _tip_state(model, xpos, xquat, axis_w, v)
 
-    con = contacts.contact_forces(
-        tip_pos,
-        tip_vel,
-        tip_rad,
-        state.cube_pos,
-        state.cube_quat,
-        state.cube_linvel,
-        state.cube_angvel,
-    )
+    if contact:
+        con = contacts.contact_forces(
+            tip_pos,
+            tip_vel,
+            tip_rad,
+            state.cube_pos,
+            state.cube_quat,
+            state.cube_linvel,
+            state.cube_angvel,
+        )
+    else:
+        con = contacts.ContactOut(
+            force_cube=jnp.zeros(3, dtype=q.dtype),
+            torque_cube=jnp.zeros(3, dtype=q.dtype),
+            tip_forces=jnp.zeros_like(tip_pos),
+            touch_tip=jnp.zeros(tip_pos.shape[0], dtype=bool),
+            touch_table=jnp.asarray(False),
+        )
 
     # ---- robot ----
     kp = jnp.asarray(model.actuator_kp, dtype=q.dtype)
@@ -97,8 +138,18 @@ def substep(model: RobotModel, state: SimState, dt: float) -> Tuple[SimState, ja
 
     tau = tau_act + tau_fric + tau_contact + _limit_torque(model, q, v) - tau_bias
     M = kin.mass_matrix_from_frames(model, xpos, xquat, axis_w)
-    L = jnp.linalg.cholesky(M)
-    qacc = jax.scipy.linalg.cho_solve((L, True), tau)
+    # implicit joint damping a la MuJoCo's Euler integrator (eulerdamp):
+    # solve (M + h diag(B)) qacc = tau with the damping force kept in tau
+    M = M + dt * k.JOINT_DAMPING * jnp.eye(model.nq, dtype=q.dtype)
+    if implicit_actuation:
+        kp_full = jnp.zeros(model.nq, dtype=q.dtype).at[: model.nu].set(kp)
+        tau = tau - dt * kp_full * v
+        M = M + dt * dt * jnp.diag(kp_full)
+    if unrolled_solve:
+        qacc = linalg.cholesky_solve_unrolled(M, tau)
+    else:
+        L = jnp.linalg.cholesky(M)
+        qacc = jax.scipy.linalg.cho_solve((L, True), tau)
 
     v_new = v + dt * qacc
     q_new = q + dt * v_new
@@ -131,7 +182,11 @@ def substep(model: RobotModel, state: SimState, dt: float) -> Tuple[SimState, ja
         cube_angvel=angvel,
         time=state.time + dt,
     )
-    return new, con.touch_tip
+    # aux: (touch flags, pre-step world frames). Frames correspond to the
+    # state this substep advanced FROM; callers needing exact end-of-step
+    # sites (the env path) run one extra FK, while MPC rollouts reuse them
+    # with a one-step shift (mpc/rollout.py).
+    return new, (con.touch_tip, xpos, xquat)
 
 
 def control_step(
@@ -146,7 +201,7 @@ def control_step(
     state = state._replace(ctrl=jnp.asarray(ctrl, dtype=state.qpos.dtype))
 
     def body(s, _):
-        s2, touch = substep(model, s, k.PHYSICS_TIMESTEP)
+        s2, (touch, _xp, _xq) = substep(model, s, k.PHYSICS_TIMESTEP)
         return s2, touch
 
     state, touches = jax.lax.scan(body, state, None, length=k.N_SUBSTEPS)
@@ -160,8 +215,8 @@ def control_step(
         sp.append(p)
         sq.append(qu)
     touch_last = touches[-1]  # (T,)
-    sides_r = jnp.asarray([t.side == "r" for t in model.fingertips])
-    sides_l = jnp.asarray([t.side == "l" for t in model.fingertips])
+    sides_r = jnp.asarray([t.side == "r" for t in model.fingertips], dtype=bool)
+    sides_l = jnp.asarray([t.side == "l" for t in model.fingertips], dtype=bool)
 
     # cube-table touch recomputed at final state
     _, _, touch_table = contacts.cube_table(

@@ -30,6 +30,13 @@ class CostParams(NamedTuple):
     w_ee_goal: jax.Array = jnp.asarray(10.0)
 
 
+def _safe_norm(x: jax.Array) -> jax.Array:
+    """Norm with a finite derivative at 0 (double-where; plain norm NaNs
+    under jacfwd at rest states, which are iLQR linearization points)."""
+    sq = jnp.sum(x * x)
+    return jnp.sqrt(jnp.where(sq < 1e-16, 1e-16, sq))
+
+
 def cube_pick_cost(
     model: RobotModel,
     state: SimState,
@@ -41,7 +48,7 @@ def cube_pick_cost(
 ) -> jax.Array:
     """Per-step cost = -reward(reference shape) + control regularization."""
     qvel_full = jnp.concatenate([state.qvel, state.cube_linvel, state.cube_angvel])
-    c = params.w_vel * jnp.linalg.norm(qvel_full)
+    c = params.w_vel * _safe_norm(qvel_full)
     if use_right:
         i = model.site_index("eer_site")
         dist = jnp.linalg.norm(state.cube_pos - aux.site_pos[i])

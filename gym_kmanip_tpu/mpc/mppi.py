@@ -33,11 +33,23 @@ class MPPIConfig(NamedTuple):
     n_iters: int = 1  # optimization iterations per solve
     n_substeps: int = 1
     dt: float = k.CONTROL_TIMESTEP
+    contact: bool = True  # False = free-space rollouts (reach-only tasks)
 
 
 class MPPIState(NamedTuple):
     nominal: jax.Array  # (H, nu) current nominal control-target sequence
     rng: jax.Array
+
+
+def sigma_per_actuator(model: RobotModel, sigma: float) -> jax.Array:
+    """Exploration std per actuator: `sigma` for wide joints, scaled down to
+    a quarter of the ctrlrange span for narrow ones (the gripper sliders'
+    full range is 0.034 m -- uniform radian-scale noise just slams their
+    limits and poisons every sample)."""
+    span = jnp.asarray(
+        model.ctrl_range[:, 1] - model.ctrl_range[:, 0], dtype=jnp.float32
+    )
+    return jnp.minimum(sigma, 0.25 * span)
 
 
 def init_mppi(model: RobotModel, cfg: MPPIConfig, seed: int = 0) -> MPPIState:
@@ -60,30 +72,49 @@ def mppi_solve(
     """
     lo = jnp.asarray(model.ctrl_range[:, 0], dtype=jnp.float32)
     hi = jnp.asarray(model.ctrl_range[:, 1], dtype=jnp.float32)
+    sigma = sigma_per_actuator(model, cfg.sigma)
 
     def one_iter(carry, _):
-        nominal, rng = carry
+        nominal, proposal, rng = carry
         rng, sub = jax.random.split(rng)
         eps = (
             jax.random.normal(sub, (cfg.n_samples, cfg.horizon, model.nu), dtype=jnp.float32)
-            * cfg.sigma
+            * sigma
         )
+        eps = eps.at[0].set(0.0)  # the nominal itself competes
         cand = jnp.clip(nominal[None] + eps, lo, hi)  # (K,H,nu)
+        # slot 1 evaluates the weighted-average proposal carried from the
+        # previous iteration -- the MPPI expectation step gets scored inside
+        # the SAME batched rollout (a serial extra rollout would be pure
+        # latency; this costs nothing)
+        cand = cand.at[1].set(proposal)
 
         def score(u_seq):
             cost, _ = rollout(
                 model, sim_state, u_seq, cost_fn,
-                n_substeps=cfg.n_substeps, dt=cfg.dt,
+                n_substeps=cfg.n_substeps, dt=cfg.dt, contact=cfg.contact,
             )
             return cost
 
         costs = jax.vmap(score)(cand)  # (K,)
-        w = jax.nn.softmax(-(costs - jnp.min(costs)) / cfg.temperature)
-        nominal = jnp.clip(nominal + jnp.einsum("k,khu->hu", w, eps), lo, hi)
-        return (nominal, rng), jnp.sum(w * costs)
+        # scale-invariant temperature: normalize by the cost spread so the
+        # softmax sharpness is independent of the cost function's units
+        lam = cfg.temperature * (jnp.std(costs) + 1e-6)
+        w = jax.nn.softmax(-(costs - jnp.min(costs)) / lam)
+        averaged = jnp.clip(
+            jnp.einsum("k,khu->hu", w, cand), lo, hi
+        )
+        # elite acceptance: the next nominal is the best EVALUATED sequence
+        # (slot 0 is the old nominal, so this is monotone non-increasing);
+        # the fresh average becomes the next iteration's proposal
+        best = jnp.argmin(costs)
+        return (cand[best], averaged, rng), costs[best]
 
-    (nominal, rng), exp_costs = jax.lax.scan(
-        one_iter, (mppi_state.nominal, mppi_state.rng), None, length=cfg.n_iters
+    (nominal, _prop, rng), exp_costs = jax.lax.scan(
+        one_iter,
+        (mppi_state.nominal, mppi_state.nominal, mppi_state.rng),
+        None,
+        length=cfg.n_iters,
     )
 
     u0 = nominal[0]

@@ -69,46 +69,68 @@ def make_sharded_mppi_solver(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(ROLLOUT_AXIS)),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(), P(), P(ROLLOUT_AXIS)),
+        out_specs=(P(), P(), P()),
         check_vma=False,  # rollout scan carries are device-varying by design
     )
-    def sharded_iter(nominal, sim_state, keys):
+    def sharded_iter(nominal, proposal, sim_state, keys):
         # keys: (1,) per-device slice of the (n_dev,) key batch
+        from gym_kmanip_tpu.mpc.mppi import sigma_per_actuator
+
         eps = (
             jax.random.normal(keys[0], (local_k, cfg.horizon, model.nu), dtype=jnp.float32)
-            * cfg.sigma
+            * sigma_per_actuator(model, cfg.sigma)
         )
+        # device 0 reserves slot 0 for the zero-noise nominal and slot 1 for
+        # the carried weighted-average proposal (see mppi.mppi_solve)
+        first_dev = jax.lax.axis_index(ROLLOUT_AXIS) == 0
+        eps = eps.at[0].multiply(jnp.where(first_dev, 0.0, 1.0))
         cand = jnp.clip(nominal[None] + eps, lo, hi)
+        cand = cand.at[1].set(jnp.where(first_dev, proposal, cand[1]))
 
         def score(u_seq):
             cost, _ = rollout(
                 model, sim_state, u_seq, cost_fn,
-                n_substeps=cfg.n_substeps, dt=cfg.dt,
+                n_substeps=cfg.n_substeps, dt=cfg.dt, contact=cfg.contact,
             )
             return cost
 
         costs = jax.vmap(score)(cand)  # (local_k,)
         gmin = jax.lax.pmin(jnp.min(costs), ROLLOUT_AXIS)
-        w_un = jnp.exp(-(costs - gmin) / cfg.temperature)
+        # scale-invariant temperature via the global cost std (two psums)
+        gmean = jax.lax.psum(jnp.sum(costs), ROLLOUT_AXIS) / cfg.n_samples
+        gvar = jax.lax.psum(jnp.sum((costs - gmean) ** 2), ROLLOUT_AXIS) / cfg.n_samples
+        lam = cfg.temperature * (jnp.sqrt(gvar) + 1e-6)
+        w_un = jnp.exp(-(costs - gmin) / lam)
         z = jax.lax.psum(jnp.sum(w_un), ROLLOUT_AXIS)
-        upd = jax.lax.psum(jnp.einsum("k,khu->hu", w_un, eps), ROLLOUT_AXIS) / z
-        exp_cost = jax.lax.psum(jnp.sum(w_un * costs), ROLLOUT_AXIS) / z
-        return upd, exp_cost
+        averaged = jnp.clip(
+            jax.lax.psum(jnp.einsum("k,khu->hu", w_un, cand), ROLLOUT_AXIS) / z,
+            lo, hi,
+        )
+        # elite acceptance: next nominal = globally best evaluated candidate
+        # (monotone since the old nominal is in the batch); averaged becomes
+        # the next proposal. Global argmin via indicator-weighted psum.
+        is_best = (costs <= gmin).astype(jnp.float32)
+        n_best = jax.lax.psum(jnp.sum(is_best), ROLLOUT_AXIS)
+        best_cand = (
+            jax.lax.psum(jnp.einsum("k,khu->hu", is_best, cand), ROLLOUT_AXIS) / n_best
+        )
+        return best_cand, averaged, gmin
 
     def solve(mppi_state: MPPIState, sim_state: SimState):
         nominal, rng = mppi_state.nominal, mppi_state.rng
 
         def one_iter(carry, _):
-            nominal, rng = carry
+            nominal, proposal, rng = carry
             rng, sub = jax.random.split(rng)
             keys = jax.random.split(sub, n_dev)
-            upd, exp_cost = sharded_iter(nominal, sim_state, keys)
-            nominal = jnp.clip(nominal + upd, lo, hi)
-            return (nominal, rng), exp_cost
+            nominal, proposal, exp_cost = sharded_iter(
+                nominal, proposal, sim_state, keys
+            )
+            return (nominal, proposal, rng), exp_cost
 
-        (nominal, rng), exp_costs = jax.lax.scan(
-            one_iter, (nominal, rng), None, length=cfg.n_iters
+        (nominal, _prop, rng), exp_costs = jax.lax.scan(
+            one_iter, (nominal, nominal, rng), None, length=cfg.n_iters
         )
         u0 = nominal[0]
         shifted = jnp.concatenate([nominal[1:], nominal[-1:]], axis=0)

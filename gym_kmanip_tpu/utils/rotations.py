@@ -123,14 +123,22 @@ def quat_from_axis_angle(axis: jax.Array, angle: jax.Array) -> jax.Array:
 
 
 def quat_log(q: jax.Array) -> jax.Array:
-    """Log map: unit quaternion -> rotation vector (angle * axis)."""
+    """Log map: unit quaternion -> rotation vector (angle * axis).
+
+    Differentiable at the identity: the vector norm is computed with the
+    double-where trick (norm's derivative at 0 is NaN and `where` alone does
+    not stop NaN propagation through jacfwd/jvp).
+    """
     w = q[..., 0]
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1)
+    sq = jnp.sum(v * v, axis=-1)
+    small = sq < 1e-14
+    vn = jnp.sqrt(jnp.where(small, 1.0, sq))
     angle = 2.0 * jnp.arctan2(vn, w)
     # wrap to (-pi, pi] so the result is the minimal rotation
     angle = jnp.where(angle > jnp.pi, angle - 2 * jnp.pi, angle)
-    scale = jnp.where(vn > _EPS, angle / jnp.maximum(vn, _EPS), 2.0 / jnp.maximum(w, _EPS))
+    # near identity: angle/vn -> 2/w smoothly (Taylor of 2*atan2(x,w)/x)
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), angle / vn)
     return v * scale[..., None]
 
 
@@ -144,13 +152,21 @@ def quat_sub(qa: jax.Array, qb: jax.Array) -> jax.Array:
 
 
 def quat_integrate(q: jax.Array, omega: jax.Array, dt) -> jax.Array:
-    """Integrate unit quaternion by world-frame angular velocity omega*dt."""
+    """Integrate unit quaternion by world-frame angular velocity omega*dt.
+
+    Differentiable at omega = 0 (double-where safe norm + Taylor branch);
+    plain norm here poisons jacfwd of any dynamics step from a resting
+    state, which is exactly iLQR's linearization point.
+    """
     rot = omega * dt
-    angle = jnp.linalg.norm(rot, axis=-1, keepdims=True)
-    axis = rot / jnp.maximum(angle, _EPS)
-    dq = jnp.concatenate(
-        [jnp.cos(0.5 * angle), jnp.sin(0.5 * angle) * axis], axis=-1
-    )
+    sq = jnp.sum(rot * rot, axis=-1, keepdims=True)
+    small = sq < 1e-14
+    angle = jnp.sqrt(jnp.where(small, 1.0, sq))
+    half = 0.5 * angle
+    # sin(a/2)/a and cos(a/2), with Taylor expansions near zero
+    scale = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
+    dq = jnp.concatenate([w, scale * rot], axis=-1)
     return normalize(quat_mul(dq, q))
 
 

@@ -1,0 +1,159 @@
+"""MPC solver tests: MPPI cost descent, iLQR convergence, rollout sanity.
+
+CPU-sized configs (tiny K/H); throughput is benchmarked on TPU by bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_kmanip_tpu.dynamics import init_state
+from gym_kmanip_tpu.models import get_model
+from gym_kmanip_tpu.mpc.cost import CostParams, cube_pick_cost, ee_tracking_cost
+from gym_kmanip_tpu.mpc.mppi import MPPIConfig, init_mppi, make_mppi_solver
+from gym_kmanip_tpu.mpc.rollout import rollout
+from gym_kmanip_tpu.ops import kinematics as kin
+
+
+@pytest.fixture(scope="module")
+def solo():
+    return get_model("solo_arm")
+
+
+@pytest.fixture(scope="module")
+def sim0(solo):
+    return init_state(solo)
+
+
+def _ee_home(solo, sim0):
+    xpos, xquat, _ = kin.fk(solo, sim0.qpos)
+    p, _ = kin.site_pose(solo, xpos, xquat, "eer_site")
+    return p
+
+
+def test_rollout_costs_finite(solo, sim0):
+    params = CostParams()
+    cost_fn = lambda s, aux, u: cube_pick_cost(solo, s, aux, u, params)
+    useq = jnp.tile(jnp.asarray(solo.home_qpos[: solo.nu], dtype=jnp.float32), (4, 1))
+    total, final = rollout(solo, sim0, useq, cost_fn)
+    assert np.isfinite(float(total))
+    assert not bool(jnp.isnan(final.qpos).any())
+
+
+def test_mppi_improves_bad_nominal(solo, sim0):
+    """Starting from a deliberately bad nominal (joint-1 targets offset
+    0.2 rad), MPPI must move back toward lower cost; the zero-noise sample
+    guarantees it can never do worse than the nominal it was given."""
+    goal = _ee_home(solo, sim0)
+    # pure-position cost: with a velocity penalty and a short horizon, the
+    # bad nominal is LOCALLY optimal (returning costs velocity before the
+    # position gain pays off) and no solver should move -- verified on TPU
+    cost_fn = lambda s, aux, u: ee_tracking_cost(
+        solo, s, aux, u, goal, w_vel=0.0, w_ctrl=0.0
+    )
+    cfg = MPPIConfig(horizon=10, n_samples=64, n_iters=2, sigma=0.1, contact=False)
+    solver = make_mppi_solver(solo, cfg, cost_fn)
+    st = init_mppi(solo, cfg)
+    bad = st.nominal.at[:, 1].add(0.2)
+    st = st._replace(nominal=bad)
+
+    J_bad, _ = rollout(solo, sim0, bad, cost_fn, contact=False)
+    new_state, u0, J = solver(st, sim0)
+    J_opt, _ = rollout(
+        solo,
+        sim0,
+        jnp.concatenate([u0[None], new_state.nominal[:-1]], axis=0),
+        cost_fn,
+        contact=False,
+    )
+    assert float(J_opt) < float(J_bad)
+    assert not bool(jnp.isnan(u0).any())
+
+
+def test_mppi_receding_horizon_shift(solo, sim0):
+    params = CostParams()
+    cost_fn = lambda s, aux, u: cube_pick_cost(solo, s, aux, u, params)
+    cfg = MPPIConfig(horizon=4, n_samples=8, n_iters=1)
+    solver = make_mppi_solver(solo, cfg, cost_fn)
+    st0 = init_mppi(solo, cfg)
+    st1, u0, _ = solver(st0, sim0)
+    assert st1.nominal.shape == st0.nominal.shape
+    assert not np.array_equal(np.asarray(st1.rng), np.asarray(st0.rng))
+
+
+def _tiny_model():
+    """2-dof custom chain built through the public build_model API (the
+    analog of importing a new robot via the reference's asset templates,
+    SURVEY.md §2.2). Small enough that iLQR's jacfwd graphs compile in
+    seconds on CPU."""
+    import numpy as np
+
+    from gym_kmanip_tpu.models.spec import build_model
+
+    joints = [
+        dict(name="j0_x6_a", parent=-1,
+             frames=[((0, 0, 0.5), (1.0, 0, 0, 0))],
+             range=(-2.0, 2.0)),
+        dict(name="j1_x4_a", parent=0,
+             frames=[((0, 0, -0.2), (0.707107, 0.707107, 0, 0))],
+             range=(-2.0, 2.0)),
+    ]
+    sites = [dict(name="eer_site", parent=1, pos=(0, 0, -0.2))]
+    actuators = [
+        dict(kp=100.0, ctrlrange=(-2.0, 2.0)),
+        dict(kp=100.0, ctrlrange=(-2.0, 2.0)),
+    ]
+    return build_model(
+        name="tiny", joints=joints, sites=sites, cameras=[], fingertips=[],
+        actuators=actuators, home_qpos=np.zeros(2),
+        mocap_pos0=np.zeros((1, 3)), mocap_quat0=np.array([[1.0, 0, 0, 0]]),
+    )
+
+
+def test_ilqr_cost_monotone_decrease():
+    from gym_kmanip_tpu.solvers.ilqr import ILQRConfig, ilqr_solve, unflatten_state
+
+    tiny = _tiny_model()
+    sim0 = init_state(tiny)
+
+    def cost_xu(x, u):
+        s = unflatten_state(tiny, x, sim0)
+        xp, xq, _ = kin.fk(tiny, s.qpos)
+        ee, _ = kin.site_pose(tiny, xp, xq, "eer_site")
+        goal = jnp.asarray([0.15, 0.0, 0.35])
+        return (
+            100.0 * jnp.sum((ee - goal) ** 2)
+            + 0.01 * jnp.sum(s.qvel**2)
+            + 1e-3 * jnp.sum(u**2)
+        )
+
+    cfg = ILQRConfig(horizon=8, n_iters=4)
+    u_init = jnp.zeros((8, tiny.nu), dtype=jnp.float32)
+    result = ilqr_solve(tiny, cfg, sim0, u_init, cost_xu)
+    trace = np.asarray(result.cost_trace)
+    # monotone non-increasing (line search rejects bad steps)
+    assert np.all(np.diff(trace) <= 1e-5)
+    assert trace[-1] < trace[0]  # actually improved
+    assert not np.any(np.isnan(np.asarray(result.us)))
+
+
+def test_ilqr_parallel_backward_matches_serial():
+    from gym_kmanip_tpu.solvers.ilqr import ILQRConfig, ilqr_solve, unflatten_state
+
+    tiny = _tiny_model()
+    sim0 = init_state(tiny)
+
+    def cost_xu(x, u):
+        s = unflatten_state(tiny, x, sim0)
+        return 10.0 * jnp.sum(s.qpos**2) + 0.01 * jnp.sum(s.qvel**2) + 1e-2 * jnp.sum(u**2)
+
+    u_init = jnp.full((6, tiny.nu), 0.3, dtype=jnp.float32)
+    r_ser = ilqr_solve(tiny, ILQRConfig(horizon=6, n_iters=2), sim0, u_init, cost_xu)
+    r_par = ilqr_solve(
+        tiny, ILQRConfig(horizon=6, n_iters=2, parallel_backward=True),
+        sim0, u_init, cost_xu,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ser.us), np.asarray(r_par.us), atol=1e-4, rtol=1e-3
+    )

@@ -1,0 +1,182 @@
+"""Full benchmark suite (BASELINE.md metrics beyond the bench.py headline).
+
+Prints one JSON line per metric:
+  * MPPI solves/sec/chip at H=50 and H=100 (configs 2 and the headline)
+  * DualArm bimanual MPPI solves/sec (config 3)
+  * Torso iLQR solve time at H=100 (config 4)
+  * Vision-MPC renders/sec (config 5)
+  * rollout-sharding scaling efficiency across the local device mesh
+    (1 -> N devices; with one chip this runs on the virtual CPU mesh --
+    set XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu)
+
+Run: python tools/bench_suite.py [--quick]
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from gym_kmanip_tpu.dynamics import init_state
+from gym_kmanip_tpu.models import get_model
+from gym_kmanip_tpu.mpc.cost import CostParams, cube_pick_cost, ee_tracking_cost
+from gym_kmanip_tpu.mpc.mppi import MPPIConfig, init_mppi, mppi_solve
+from gym_kmanip_tpu.ops import kinematics as kin
+
+QUICK = "--quick" in sys.argv
+
+
+def report(metric, value, unit, vs=None):
+    print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit,
+                      **({"vs_baseline": round(vs, 3)} if vs is not None else {})}),
+          flush=True)
+
+
+def timed_scan_solves(model, cfg, cost_fn, n_solves):
+    ms = init_mppi(model, cfg)
+    ss = init_state(model)
+
+    @jax.jit
+    def run(ms, ss):
+        def body(m, _):
+            m2, u0, J = mppi_solve(model, cfg, m, ss, cost_fn)
+            return m2, J
+
+        return jax.lax.scan(body, ms, None, length=n_solves)
+
+    out = run(ms, ss)
+    jax.block_until_ready(out[1])
+    t0 = time.time()
+    out = run(ms, ss)
+    jax.block_until_ready(out[1])
+    return (time.time() - t0) / n_solves
+
+
+def mppi_benches():
+    model = get_model("solo_arm")
+    params = CostParams()
+    cost_fn = lambda s, aux, u: cube_pick_cost(model, s, aux, u, params)
+    n = 3 if QUICK else 20
+    for H in (50, 100):
+        cfg = MPPIConfig(horizon=H, n_samples=64 if QUICK else 256, n_iters=1)
+        dt = timed_scan_solves(model, cfg, cost_fn, n)
+        report(f"mppi_solves_per_sec_chip_H{H}", 1.0 / dt, "solves/s",
+               (1.0 / dt) / 50.0 if H == 50 else None)
+
+
+def dual_arm_bench():
+    model = get_model("dual_arm")
+    s0 = init_state(model)
+    xp, xq, _ = kin.fk(model, s0.qpos)
+    eer, _ = kin.site_pose(model, xp, xq, "eer_site")
+    eel, _ = kin.site_pose(model, xp, xq, "eel_site")
+    goal_r = eer + jnp.asarray([0.0, 0.03, -0.03])
+    goal_l = eel + jnp.asarray([0.0, 0.03, -0.03])
+
+    def cost_fn(s, aux, u):
+        ir, il = model.site_index("eer_site"), model.site_index("eel_site")
+        return (100.0 * jnp.sum((aux.site_pos[ir] - goal_r) ** 2)
+                + 100.0 * jnp.sum((aux.site_pos[il] - goal_l) ** 2)
+                + 0.01 * jnp.sum(s.qvel**2))
+
+    cfg = MPPIConfig(horizon=20, n_samples=32 if QUICK else 128, n_iters=1,
+                     contact=False)
+    dt = timed_scan_solves(model, cfg, cost_fn, 3 if QUICK else 10)
+    report("dualarm_bimanual_mppi_solves_per_sec", 1.0 / dt, "solves/s")
+
+
+def torso_ilqr_bench():
+    from gym_kmanip_tpu.solvers.ilqr import ILQRConfig, make_ilqr_solver, unflatten_state
+
+    model = get_model("torso")
+    s0 = init_state(model)
+    xp, xq, _ = kin.fk(model, s0.qpos)
+    eer, _ = kin.site_pose(model, xp, xq, "eer_site")
+    goal = eer + jnp.asarray([0.0, 0.04, -0.03])
+
+    def cost_xu(x, u):
+        s = unflatten_state(model, x, s0)
+        xp2, xq2, _ = kin.fk(model, s.qpos)
+        ee, _ = kin.site_pose(model, xp2, xq2, "eer_site")
+        return (100.0 * jnp.sum((ee - goal) ** 2)
+                + 10.0 * jnp.sum((s.cube_pos - s0.cube_pos) ** 2)
+                + 0.01 * jnp.sum(s.qvel**2)
+                + 1e-3 * jnp.sum((u - s.qpos[: model.nu]) ** 2))
+
+    H = 20 if QUICK else 100
+    cfg = ILQRConfig(horizon=H, n_iters=2 if QUICK else 5)
+    solver = make_ilqr_solver(model, cfg, cost_xu)
+    u0 = jnp.tile(jnp.asarray(model.home_qpos[: model.nu], dtype=jnp.float32), (H, 1))
+    res = solver(s0, u0)
+    jax.block_until_ready(res.us)
+    t0 = time.time()
+    res = solver(s0, u0)
+    jax.block_until_ready(res.us)
+    report(f"torso_ilqr_H{H}_solve_time", time.time() - t0, "s")
+
+
+def vision_bench():
+    from gym_kmanip_tpu.mpc.vision_cost import init_cost_params, make_vision_cost
+    from gym_kmanip_tpu.mpc.rollout import rollout
+
+    model = get_model("solo_arm")
+    params = init_cost_params(jax.random.PRNGKey(0))
+    cost_fn = make_vision_cost(model, params)
+    s0 = init_state(model)
+    H, K = (4, 8) if QUICK else (10, 32)
+    useqs = jnp.tile(
+        jnp.asarray(model.home_qpos[: model.nu], dtype=jnp.float32), (K, H, 1)
+    )
+
+    @jax.jit
+    def run(useqs):
+        return jax.vmap(lambda u: rollout(model, s0, u, cost_fn)[0])(useqs)
+
+    out = run(useqs)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = run(useqs)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    report("vision_mpc_renders_per_sec", H * K / dt, "renders/s")
+
+
+def scaling_bench():
+    from gym_kmanip_tpu.parallel.mesh import make_mesh, make_sharded_mppi_solver
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        report("scaling_efficiency", 1.0, "x (single device; run with a mesh)")
+        return
+    model = get_model("solo_arm")
+    params = CostParams()
+    cost_fn = lambda s, aux, u: cube_pick_cost(model, s, aux, u, params)
+    K = 16 * n_dev if QUICK else 64 * n_dev
+    H = 10 if QUICK else 30
+    times = {}
+    for nd in (1, n_dev):
+        cfg = MPPIConfig(horizon=H, n_samples=K, n_iters=1)
+        mesh = make_mesh(nd)
+        solver = make_sharded_mppi_solver(model, cfg, cost_fn, mesh)
+        ms, ss = init_mppi(model, cfg), init_state(model)
+        out = solver(ms, ss)
+        jax.block_until_ready(out[1])
+        t0 = time.time()
+        for _ in range(3):
+            out = solver(ms, ss)
+        jax.block_until_ready(out[1])
+        times[nd] = (time.time() - t0) / 3
+    eff = times[1] / (times[n_dev] * n_dev)
+    report(f"rollout_sharding_efficiency_1_to_{n_dev}dev", eff, "fraction", eff / 0.8)
+
+
+if __name__ == "__main__":
+    mppi_benches()
+    dual_arm_bench()
+    torso_ilqr_bench()
+    vision_bench()
+    scaling_bench()
