@@ -1,0 +1,224 @@
+"""MJCF-subset loader: robot XML -> static RobotModel pytree.
+
+TPU-native replacement for the reference's runtime MJCF compile
+(`mujoco.Physics.from_xml_path` at /root/reference/gym_kmanip/env_sim.py:208
+and the asset-template robot-import workflow, SURVEY.md §2.2/§2.3): instead
+of compiling XML into an opaque C struct, the kinematic tree is parsed
+host-side into the same frozen numpy RobotModel the rest of the framework
+jits against.
+
+Supported subset (everything the Stompy MJCFs use):
+  * <include> resolution and top-level section merging
+  * nested <body> with pos / quat / euler, mocap bodies
+  * <joint> hinge (default) and slide, pos=0 axis=z (asserted), range,
+    frictionloss
+  * <site> elements and *_site marker bodies
+  * <camera> fixed or mode="targetbody"
+  * <position> actuators: kp, ctrlrange, forcerange, joint mapping
+Geoms/meshes are ignored (visual + contact geometry is approximated by the
+engine's analytic primitives; the STL meshes are .gitignored upstream).
+
+The three built-in robots (models/__init__.py) remain the hand-derived
+tables; this loader exists so users can import their OWN robots the same
+way the reference's templates workflow intended, and so tests can
+cross-validate the tables against the original XML trees when the
+reference checkout is present.
+"""
+
+import os
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from numpy.typing import NDArray
+
+from gym_kmanip_tpu.models.spec import RobotModel, build_model, quat_from_euler_xyz_np
+
+
+def _parse_vec(s: Optional[str], default):
+    if s is None:
+        return np.asarray(default, dtype=np.float64)
+    return np.asarray([float(x) for x in s.split()], dtype=np.float64)
+
+
+def _body_frame(body: ET.Element) -> Tuple[NDArray, NDArray]:
+    pos = _parse_vec(body.get("pos"), (0.0, 0, 0))
+    if body.get("quat") is not None:
+        quat = _parse_vec(body.get("quat"), (1.0, 0, 0, 0))
+        quat = quat / np.linalg.norm(quat)
+    elif body.get("euler") is not None:
+        quat = quat_from_euler_xyz_np(_parse_vec(body.get("euler"), (0.0, 0, 0)))
+    else:
+        quat = np.array([1.0, 0, 0, 0])
+    return pos, quat
+
+
+def resolve_includes(path: str) -> ET.Element:
+    """Flatten <include file=.../> elements (MuJoCo merge semantics)."""
+    base = os.path.dirname(path)
+    root = ET.parse(path).getroot()
+
+    def expand(elem: ET.Element):
+        for child in list(elem):
+            if child.tag == "include":
+                sub = resolve_includes(os.path.join(base, child.attrib["file"]))
+                idx = list(elem).index(child)
+                elem.remove(child)
+                for j, sc in enumerate(list(sub)):
+                    elem.insert(idx + j, sc)
+            else:
+                expand(child)
+
+    expand(root)
+    # merge repeated top-level sections the way the MuJoCo compiler does
+    for tag in ("worldbody", "asset", "actuator", "visual", "option"):
+        sections = root.findall(tag)
+        for extra in sections[1:]:
+            for ch in list(extra):
+                sections[0].append(ch)
+            root.remove(extra)
+    return root
+
+
+def load_mjcf(
+    path: str,
+    home_qpos: Optional[NDArray] = None,
+    fingertips: Optional[List[dict]] = None,
+    name: Optional[str] = None,
+) -> RobotModel:
+    """Parse an MJCF file (with includes) into a RobotModel.
+
+    `home_qpos` defaults to zeros; `fingertips` (collision spheres for the
+    gripper pads, not representable in mesh-free MJCF) default to none.
+    """
+    root = resolve_includes(path)
+    wb = root.find("worldbody")
+    if wb is None:
+        raise ValueError(f"{path}: no <worldbody>")
+
+    joints: List[dict] = []
+    sites: List[dict] = []
+    cameras: List[dict] = []
+    mocap_pos: List[NDArray] = []
+    mocap_quat: List[NDArray] = []
+    jname_to_idx: Dict[str, int] = {}
+    # joint index -> camera specs waiting to resolve parents
+    _EE_SITE_BODIES = ("eer_site", "eel_site")
+
+    def walk(body: ET.Element, parent_joint: int, frames: List):
+        """frames = accumulated (pos, quat) since the last joint body."""
+        if body.get("mocap") == "true":
+            p, q = _body_frame(body)
+            mocap_pos.append(p)
+            mocap_quat.append(q)
+            return
+        bname = body.get("name", "")
+        p, q = _body_frame(body)
+        my_frames = frames + [(p, q)]
+
+        jel = body.find("joint")
+        if body.find("freejoint") is not None or (
+            jel is not None and jel.get("type") == "free"
+        ):
+            return  # free bodies (the cube) live in the engine, not the tree
+        if jel is not None:
+            jpos = _parse_vec(jel.get("pos"), (0.0, 0, 0))
+            jaxis = _parse_vec(jel.get("axis"), (0.0, 0, 1.0))
+            assert np.allclose(jpos, 0) and np.allclose(jaxis, (0, 0, 1)), (
+                f"{jel.get('name')}: only pos=0 axis=z joints supported "
+                "(true for all Stompy MJCFs)"
+            )
+            idx = len(joints)
+            joints.append(
+                dict(
+                    name=jel.get("name", f"joint_{idx}"),
+                    parent=parent_joint,
+                    frames=my_frames,
+                    type=jel.get("type", "hinge"),
+                    range=tuple(_parse_vec(jel.get("range"), (0.0, 0.0))),
+                    frictionloss=float(jel.get("frictionloss", 0.0)),
+                )
+            )
+            jname_to_idx[joints[-1]["name"]] = idx
+            parent_joint, my_frames = idx, []
+
+        # EE marker bodies ("eer_site"/"eel_site" with a site inside)
+        if bname in _EE_SITE_BODIES:
+            cp, cq = np.zeros(3), np.array([1.0, 0, 0, 0])
+            for fp, fq in my_frames:
+                from gym_kmanip_tpu.utils import rotations as rot
+                import jax.numpy as jnp
+
+                cp = cp + np.asarray(rot.quat_rotate(jnp.array(cq), jnp.array(fp)))
+                cq = np.asarray(rot.quat_mul(jnp.array(cq), jnp.array(fq)))
+            sites.append(dict(name=bname, parent=parent_joint, pos=cp, quat=cq))
+
+        for cam in body.findall("camera"):
+            cameras.append(
+                dict(
+                    name=cam.get("name"),
+                    parent=parent_joint,
+                    pos=_parse_vec(cam.get("pos"), (0.0, 0, 0)),
+                    fovy=float(cam.get("fovy", 45.0)),
+                    target_site=cam.get("target")
+                    if cam.get("mode") == "targetbody"
+                    and cam.get("target") in _EE_SITE_BODIES
+                    else None,
+                    target_world=np.array([0.0, 0.6, 0.5])
+                    if cam.get("mode") == "targetbody"
+                    and cam.get("target") not in _EE_SITE_BODIES
+                    else None,
+                )
+            )
+
+        for child in body.findall("body"):
+            walk(child, parent_joint, my_frames)
+
+    for top in wb.findall("body"):
+        walk(top, -1, [])
+    for cam in wb.findall("camera"):
+        cameras.append(
+            dict(
+                name=cam.get("name"),
+                parent=-1,
+                pos=_parse_vec(cam.get("pos"), (0.0, 0, 0)),
+                fovy=float(cam.get("fovy", 45.0)),
+                target_site=None,
+                target_world=np.array([0.0, 0.6, 0.5]),
+            )
+        )
+
+    # actuators: map onto joint order (the Stompy files list actuator i for
+    # joint i, but map by name to be safe)
+    actuators_by_joint: Dict[int, dict] = {}
+    act_el = root.find("actuator")
+    if act_el is not None:
+        for pos_el in act_el.findall("position"):
+            jn = pos_el.get("joint")
+            if jn not in jname_to_idx:
+                continue
+            fr = pos_el.get("forcerange")
+            actuators_by_joint[jname_to_idx[jn]] = dict(
+                kp=float(pos_el.get("kp", 0.0)),
+                ctrlrange=tuple(_parse_vec(pos_el.get("ctrlrange"), (0.0, 0.0))),
+                forcerange=tuple(_parse_vec(fr, (-np.inf, np.inf)))
+                if fr is not None
+                else (-np.inf, np.inf),
+            )
+    actuators = [actuators_by_joint[i] for i in sorted(actuators_by_joint)]
+    assert sorted(actuators_by_joint) == list(range(len(actuators))), (
+        "actuators must drive a joint-order prefix (true for all Stompy MJCFs)"
+    )
+
+    nq = len(joints)
+    return build_model(
+        name=name or os.path.splitext(os.path.basename(path))[0],
+        joints=joints,
+        sites=sites,
+        cameras=cameras,
+        fingertips=fingertips or [],
+        actuators=actuators,
+        home_qpos=home_qpos if home_qpos is not None else np.zeros(nq),
+        mocap_pos0=np.stack(mocap_pos) if mocap_pos else np.zeros((0, 3)),
+        mocap_quat0=np.stack(mocap_quat) if mocap_quat else np.zeros((0, 4)),
+    )

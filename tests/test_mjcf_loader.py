@@ -1,0 +1,78 @@
+"""MJCF loader cross-validation: parsing the original reference XML trees
+must reproduce the hand-derived built-in models exactly (kinematic tree,
+joint params, actuators, sites, mocap bodies).
+
+Skipped when the reference checkout is absent (the loader is a user-facing
+robot-import capability; the built-ins never depend on it at runtime).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gym_kmanip_tpu import constants as k
+from gym_kmanip_tpu.models import get_model
+
+REF_ASSETS = "/root/reference/gym_kmanip/assets"
+
+CASES = [
+    ("_env_solo_arm.xml", "solo_arm", k.Q_SOLO_ARM_HOME),
+    ("_env_dual_arm.xml", "dual_arm", k.Q_DUAL_ARM_HOME),
+    ("_env_torso.xml", "torso", k.Q_TORSO_HOME),
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ASSETS), reason="reference assets absent")
+@pytest.mark.parametrize("xml_name,builtin,home", CASES)
+def test_loader_matches_builtin(xml_name, builtin, home):
+    from gym_kmanip_tpu.models.mjcf import load_mjcf
+
+    ref = get_model(builtin)
+    loaded = load_mjcf(
+        os.path.join(REF_ASSETS, xml_name), home_qpos=home, name=builtin
+    )
+
+    assert loaded.nq == ref.nq
+    assert loaded.nu == ref.nu
+    assert loaded.joint_names == ref.joint_names
+    np.testing.assert_array_equal(loaded.parent, ref.parent)
+    np.testing.assert_allclose(loaded.jnt_pos, ref.jnt_pos, atol=1e-6)
+    # quaternions up to sign
+    for a, b in zip(loaded.jnt_quat, ref.jnt_quat):
+        assert np.allclose(a, b, atol=1e-5) or np.allclose(a, -b, atol=1e-5), (a, b)
+    np.testing.assert_array_equal(loaded.jnt_type, ref.jnt_type)
+    np.testing.assert_allclose(loaded.jnt_range, ref.jnt_range, atol=1e-9)
+    np.testing.assert_allclose(loaded.jnt_frictionloss, ref.jnt_frictionloss)
+    np.testing.assert_allclose(loaded.actuator_kp, ref.actuator_kp)
+    np.testing.assert_allclose(loaded.ctrl_range, ref.ctrl_range)
+    np.testing.assert_allclose(loaded.force_range, ref.force_range)
+
+    assert {s.name for s in loaded.sites} == {s.name for s in ref.sites}
+    for s in ref.sites:
+        ls = loaded.site(s.name)
+        assert ls.parent == s.parent
+        np.testing.assert_allclose(ls.pos, s.pos, atol=1e-6)
+
+    np.testing.assert_allclose(loaded.mocap_pos0, ref.mocap_pos0, atol=1e-9)
+
+    cam_names = {c.name for c in loaded.cameras}
+    assert {"top", "head"} <= cam_names
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ASSETS), reason="reference assets absent")
+def test_loaded_model_runs_fk():
+    import jax.numpy as jnp
+
+    from gym_kmanip_tpu.models.mjcf import load_mjcf
+    from gym_kmanip_tpu.ops import kinematics as kin
+
+    m = load_mjcf(
+        os.path.join(REF_ASSETS, "_env_solo_arm.xml"), home_qpos=k.Q_SOLO_ARM_HOME
+    )
+    xpos, xquat, _ = kin.fk(m, jnp.asarray(m.home_qpos, dtype=jnp.float32))
+    p, _ = kin.site_pose(m, xpos, xquat, "eer_site")
+    # known EE home position (verify skill sanity value)
+    np.testing.assert_allclose(
+        np.asarray(p), [0.2578, 0.4996, 0.6251], atol=2e-3
+    )
