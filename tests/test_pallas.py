@@ -1,0 +1,52 @@
+"""Pallas TPU kernel tests (skipped off-TPU; the kernels are TPU-only).
+
+Run manually on hardware: JAX_PLATFORMS=axon python -m pytest tests/test_pallas.py
+(conftest.py pins the suite to CPU, where pallas TPU kernels cannot lower;
+interpret mode is exercised instead so the kernel logic is still covered.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _make_problem(K=256, n=10, seed=0):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(K, n, n)
+    M = jnp.asarray(A @ A.transpose(0, 2, 1) + 5 * np.eye(n), dtype=jnp.float32)
+    b = jnp.asarray(rng.randn(K, n), dtype=jnp.float32)
+    ref = np.linalg.solve(
+        np.asarray(M, dtype=np.float64), np.asarray(b, dtype=np.float64)[..., None]
+    )[..., 0]
+    return M, b, ref
+
+
+def test_cholesky_kernel_interpret_mode():
+    """Kernel logic via the Pallas interpreter (runs on any backend)."""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+    from gym_kmanip_tpu.ops.pallas_linalg import _chol_solve_kernel
+
+    K, n = 8, 6
+    M, b, ref = _make_problem(K, n)
+    Mt = M.reshape(K, n * n).T
+    bt = b.T
+    out = pl.pallas_call(
+        partial(_chol_solve_kernel, n),
+        out_shape=jax.ShapeDtypeStruct((n, K), M.dtype),
+        interpret=True,
+    )(Mt, bt)
+    np.testing.assert_allclose(np.asarray(out.T), ref, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu",), reason="pallas TPU kernel needs TPU"
+)
+def test_cholesky_kernel_tpu():
+    from gym_kmanip_tpu.ops.pallas_linalg import cholesky_solve_pallas
+
+    M, b, ref = _make_problem()
+    x = jax.jit(cholesky_solve_pallas)(M, b)
+    np.testing.assert_allclose(np.asarray(x), ref, atol=1e-4)
