@@ -146,7 +146,7 @@ def substep(
         tau = tau - dt * kp_full * v
         M = M + dt * dt * jnp.diag(kp_full)
     if unrolled_solve:
-        qacc = linalg.cholesky_solve_unrolled(M, tau)
+        qacc = linalg.batch_aware_cholesky_solve(M, tau)
     else:
         L = jnp.linalg.cholesky(M)
         qacc = jax.scipy.linalg.cho_solve((L, True), tau)

@@ -16,6 +16,41 @@ import jax
 import jax.numpy as jnp
 
 
+def make_batch_aware_solve(use_pallas: bool = True):
+    """SPD solve that upgrades itself under vmap.
+
+    Unbatched calls run the trace-time-unrolled Cholesky below; when the
+    MPC rollout batch is vmapped over the engine, the custom_vmap rule
+    routes the now-explicit (K, n, n) problem to the fused Pallas TPU
+    kernel (ops/pallas_linalg) -- vmap-of-pallas_call does not lower
+    practically, so this is the clean seam between the per-item engine
+    code and the batched kernel.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def solve(M, b):
+        return cholesky_solve_unrolled(M, b)
+
+    @solve.def_vmap
+    def _batched(axis_size, in_batched, M, b):
+        M_b, b_b = in_batched
+        if not M_b:
+            M = jnp.broadcast_to(M, (axis_size,) + M.shape)
+        if not b_b:
+            b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+        if use_pallas and jax.default_backend() == "tpu" and M.ndim == 3:
+            from gym_kmanip_tpu.ops.pallas_linalg import cholesky_solve_pallas
+
+            return cholesky_solve_pallas(M, b), True
+        return cholesky_solve_unrolled(M, b), True
+
+    return solve
+
+
+# default instance used by the dynamics engine
+batch_aware_cholesky_solve = make_batch_aware_solve()
+
+
 def cholesky_solve_unrolled(M: jax.Array, b: jax.Array) -> jax.Array:
     """Solve M x = b for SPD M (n,n), b (n,). Unrolled Cholesky-Crout.
 
