@@ -103,8 +103,14 @@ def substep(
     """
     q, v = state.qpos, state.qvel
 
-    # single forward pass: world frames + bias forces (RNEA)
-    xpos, xquat, axis_w, tau_bias = kin.rnea_terms(model, q, v)
+    # single forward pass: world frames + bias forces (RNEA). The fast path
+    # dispatches to the fused Pallas kernel when the rollout batch is
+    # vmapped on TPU; differentiating callers (unrolled_solve=False) keep
+    # the plain jnp unroll (custom_vmap seams don't carry JVP rules)
+    if unrolled_solve:
+        xpos, xquat, axis_w, tau_bias = kin.rnea_terms_fast(model, q, v)
+    else:
+        xpos, xquat, axis_w, tau_bias = kin.rnea_terms(model, q, v)
     tip_pos, tip_vel, tip_jac, tip_rad = _tip_state(model, xpos, xquat, axis_w, v)
 
     if contact:

@@ -163,6 +163,40 @@ def bias_forces(model: RobotModel, qpos: jax.Array, qvel: jax.Array) -> jax.Arra
     return rnea_terms(model, qpos, qvel)[3]
 
 
+_RNEA_CV_CACHE = {}
+
+
+def rnea_terms_fast(model: RobotModel, qpos: jax.Array, qvel: jax.Array):
+    """`rnea_terms` with a custom_vmap seam (same pattern as
+    ops/linalg.batch_aware_cholesky_solve): per-item calls run the jnp
+    unroll; under vmap on TPU the whole batch dispatches to the fused
+    Pallas kernel (ops/pallas_dynamics), collapsing ~700 launch-bound
+    elementwise kernels per substep into one."""
+    key = id(model)
+    if key not in _RNEA_CV_CACHE:
+
+        @jax.custom_batching.custom_vmap
+        def f(q, v):
+            return rnea_terms(model, q, v)
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, q, v):
+            qb, vb = in_batched
+            if not qb:
+                q = jnp.broadcast_to(q, (axis_size,) + q.shape)
+            if not vb:
+                v = jnp.broadcast_to(v, (axis_size,) + v.shape)
+            if jax.default_backend() == "tpu" and q.ndim == 2:
+                from gym_kmanip_tpu.ops.pallas_dynamics import rnea_terms_batched
+
+                return rnea_terms_batched(model, q, v), (True, True, True, True)
+            out = jax.vmap(lambda a, b: rnea_terms(model, a, b))(q, v)
+            return out, (True, True, True, True)
+
+        _RNEA_CV_CACHE[key] = f
+    return _RNEA_CV_CACHE[key](qpos, qvel)
+
+
 def rnea_terms(
     model: RobotModel, qpos: jax.Array, qvel: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:

@@ -50,3 +50,39 @@ def test_cholesky_kernel_tpu():
     M, b, ref = _make_problem()
     x = jax.jit(cholesky_solve_pallas)(M, b)
     np.testing.assert_allclose(np.asarray(x), ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["solo_arm", "torso"])
+def test_rnea_kernel_interpret_mode(name):
+    """Fused FK+RNEA kernel matches the jnp reference op-for-op."""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+
+    from gym_kmanip_tpu.models import get_model
+    from gym_kmanip_tpu.ops import kinematics as kin
+    from gym_kmanip_tpu.ops.pallas_dynamics import _rnea_kernel
+
+    m = get_model(name)
+    K, nq = 4, m.nq
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(
+        rng.uniform(m.jnt_range[:, 0].clip(-3), m.jnt_range[:, 1].clip(max=3), (K, nq)),
+        dtype=jnp.float32,
+    )
+    v = jnp.asarray(rng.randn(K, nq) * 0.4, dtype=jnp.float32)
+    xp_t, xq_t, ax_t, b_t = pl.pallas_call(
+        partial(_rnea_kernel, m, -9.81),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq * 3, K), jnp.float32),
+            jax.ShapeDtypeStruct((nq * 4, K), jnp.float32),
+            jax.ShapeDtypeStruct((nq * 3, K), jnp.float32),
+            jax.ShapeDtypeStruct((nq, K), jnp.float32),
+        ),
+        interpret=True,
+    )(q.T, v.T)
+    xp_r, xq_r, ax_r, b_r = jax.vmap(lambda a, b: kin.rnea_terms(m, a, b))(q, v)
+    np.testing.assert_allclose(np.asarray(xp_t.T.reshape(K, nq, 3)), np.asarray(xp_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xq_t.T.reshape(K, nq, 4)), np.asarray(xq_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ax_t.T.reshape(K, nq, 3)), np.asarray(ax_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_t.T), np.asarray(b_r), atol=1e-4)
