@@ -174,6 +174,50 @@ def fingertips_cube_table(
     return f_tips, cube_force, cube_torque, touch
 
 
+_CONTACT_CV_CACHE = {}
+
+
+def contact_forces_fast(model, tip_pos, tip_vel, cube_pos, cube_quat,
+                        cube_linvel, cube_angvel) -> ContactOut:
+    """`contact_forces` with a custom_vmap seam: per-item calls run the jnp
+    path below; under vmap on TPU the whole rollout batch dispatches to the
+    fused Pallas kernel (ops/pallas_contacts). Fingertip radii come from
+    the static model."""
+    key = id(model)
+    if key not in _CONTACT_CV_CACHE:
+        import numpy as _np
+
+        radii = _np.asarray([t.radius for t in model.fingertips], dtype=_np.float32)
+
+        @jax.custom_batching.custom_vmap
+        def f(tp, tv, cp, cq, clv, cav):
+            return contact_forces(tp, tv, jnp.asarray(radii, dtype=tp.dtype),
+                                  cp, cq, clv, cav)
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, tp, tv, cp, cq, clv, cav):
+            args = []
+            for a, b in zip((tp, tv, cp, cq, clv, cav), in_batched):
+                args.append(a if b else jnp.broadcast_to(a, (axis_size,) + a.shape))
+            tp, tv, cp, cq, clv, cav = args
+            batched_flags = ContactOut(True, True, True, True, True)
+            if jax.default_backend() == "tpu" and tp.ndim == 3:
+                from gym_kmanip_tpu.ops.pallas_contacts import contact_forces_batched
+
+                return contact_forces_batched(model, tp, tv, cp, cq, clv, cav), batched_flags
+            out = jax.vmap(
+                lambda a, b, c, d, e, g: contact_forces(
+                    a, b, jnp.asarray(radii, dtype=a.dtype), c, d, e, g
+                )
+            )(tp, tv, cp, cq, clv, cav)
+            return out, batched_flags
+
+        _CONTACT_CV_CACHE[key] = f
+    return _CONTACT_CV_CACHE[key](
+        tip_pos, tip_vel, cube_pos, cube_quat, cube_linvel, cube_angvel
+    )
+
+
 def contact_forces(
     tip_pos: jax.Array,
     tip_vel: jax.Array,

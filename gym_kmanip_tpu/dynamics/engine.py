@@ -114,15 +114,22 @@ def substep(
     tip_pos, tip_vel, tip_jac, tip_rad = _tip_state(model, xpos, xquat, axis_w, v)
 
     if contact:
-        con = contacts.contact_forces(
-            tip_pos,
-            tip_vel,
-            tip_rad,
-            state.cube_pos,
-            state.cube_quat,
-            state.cube_linvel,
-            state.cube_angvel,
-        )
+        if unrolled_solve and model.fingertips:
+            # fast path: fused Pallas contact kernel under vmap on TPU
+            con = contacts.contact_forces_fast(
+                model, tip_pos, tip_vel, state.cube_pos, state.cube_quat,
+                state.cube_linvel, state.cube_angvel,
+            )
+        else:
+            con = contacts.contact_forces(
+                tip_pos,
+                tip_vel,
+                tip_rad,
+                state.cube_pos,
+                state.cube_quat,
+                state.cube_linvel,
+                state.cube_angvel,
+            )
     else:
         con = contacts.ContactOut(
             force_cube=jnp.zeros(3, dtype=q.dtype),

@@ -86,3 +86,56 @@ def test_rnea_kernel_interpret_mode(name):
     np.testing.assert_allclose(np.asarray(xq_t.T.reshape(K, nq, 4)), np.asarray(xq_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ax_t.T.reshape(K, nq, 3)), np.asarray(ax_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(b_t.T), np.asarray(b_r), atol=1e-4)
+
+
+def test_contacts_kernel_interpret_mode():
+    """Fused contact kernel matches the jnp reference (forces + flags)."""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+
+    from gym_kmanip_tpu.dynamics import contacts
+    from gym_kmanip_tpu.models import get_model
+    from gym_kmanip_tpu.ops.pallas_contacts import _contacts_kernel
+
+    m = get_model("solo_arm")
+    T = len(m.fingertips)
+    K = 8
+    rng = np.random.RandomState(1)
+    tip_pos = jnp.asarray(
+        np.array([0.2, 0.5, 0.62]) + rng.randn(K, T, 3) * 0.02, dtype=jnp.float32
+    )
+    tip_vel = jnp.asarray(rng.randn(K, T, 3) * 0.2, dtype=jnp.float32)
+    cube_pos = jnp.asarray(
+        np.tile([0.2, 0.5, 0.62], (K, 1)) + rng.randn(K, 3) * 0.005, dtype=jnp.float32
+    )
+    qn = rng.randn(K, 4) * 0.1 + np.array([1.0, 0, 0, 0])
+    qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+    cube_quat = jnp.asarray(qn, dtype=jnp.float32)
+    clv = jnp.asarray(rng.randn(K, 3) * 0.1, dtype=jnp.float32)
+    cav = jnp.asarray(rng.randn(K, 3) * 0.3, dtype=jnp.float32)
+
+    cube = jnp.concatenate([cube_pos, cube_quat, clv, cav], axis=1).T
+    fc, tc, tf, touch, ttab = pl.pallas_call(
+        partial(_contacts_kernel, m),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, K), jnp.float32),
+            jax.ShapeDtypeStruct((3, K), jnp.float32),
+            jax.ShapeDtypeStruct((T * 3, K), jnp.float32),
+            jax.ShapeDtypeStruct((T, K), jnp.float32),
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+        ),
+        interpret=True,
+    )(tip_pos.reshape(K, T * 3).T, tip_vel.reshape(K, T * 3).T, cube)
+
+    rad = jnp.asarray([t.radius for t in m.fingertips], dtype=jnp.float32)
+    ref = jax.vmap(
+        lambda a, b, c, d, e, g: contacts.contact_forces(a, b, rad, c, d, e, g)
+    )(tip_pos, tip_vel, cube_pos, cube_quat, clv, cav)
+    np.testing.assert_allclose(np.asarray(fc.T), np.asarray(ref.force_cube), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tc.T), np.asarray(ref.torque_cube), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(tf.T.reshape(K, T, 3)), np.asarray(ref.tip_forces), atol=1e-4
+    )
+    assert bool(jnp.all((touch.T > 0.5) == ref.touch_tip))
+    assert bool(jnp.all((ttab[0] > 0.5) == ref.touch_table))
