@@ -81,7 +81,88 @@ def substep(
     unrolled_solve: bool = True,
     implicit_actuation: bool = False,
 ) -> Tuple[SimState, jax.Array]:
-    """One physics substep. Returns (new_state, touch (T,) tip-cube bools).
+    """One physics substep. Returns (new_state, (touch, xpos, xquat)).
+
+    Fast path (unrolled_solve=True): dispatches through a custom_vmap seam
+    so that vmapped rollout batches on TPU run the WHOLE substep as one
+    fused Pallas kernel (ops/pallas_substep); per-item calls and CPU
+    backends run the jnp implementation below. Differentiating callers
+    (unrolled_solve=False) always take the jnp path.
+    """
+    if unrolled_solve:
+        return _substep_fused_seam(model, state, dt, contact, implicit_actuation)
+    return _substep_jnp(
+        model, state, dt, contact, unrolled_solve, implicit_actuation
+    )
+
+
+_SUBSTEP_CV_CACHE = {}
+
+
+def _substep_fused_seam(model, state, dt, contact, implicit_actuation):
+    key = (id(model), float(dt), bool(contact), bool(implicit_actuation))
+    if key not in _SUBSTEP_CV_CACHE:
+
+        def plain(qpos, qvel, ctrl, cube13):
+            s = SimState(
+                qpos=qpos, qvel=qvel, ctrl=ctrl,
+                cube_pos=cube13[:3], cube_quat=cube13[3:7],
+                cube_linvel=cube13[7:10], cube_angvel=cube13[10:13],
+                time=jnp.zeros((), dtype=qpos.dtype),
+            )
+            s2, (touch, xp, xq) = _substep_jnp(
+                model, s, dt, contact, True, implicit_actuation
+            )
+            cube13o = jnp.concatenate(
+                [s2.cube_pos, s2.cube_quat, s2.cube_linvel, s2.cube_angvel]
+            )
+            return s2.qpos, s2.qvel, cube13o, touch, xp, xq
+
+        f = jax.custom_batching.custom_vmap(plain)
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, qpos, qvel, ctrl, cube13):
+            args = []
+            for a, b in zip((qpos, qvel, ctrl, cube13), in_batched):
+                args.append(a if b else jnp.broadcast_to(a, (axis_size,) + a.shape))
+            qpos, qvel, ctrl, cube13 = args
+            flags = (True, True, True, True, True, True)
+            if jax.default_backend() == "tpu" and qpos.ndim == 2:
+                from gym_kmanip_tpu.ops.pallas_substep import substep_batched
+
+                qo, vo, co, touch, xp, xq = substep_batched(
+                    model, dt, contact, implicit_actuation, qpos, qvel, ctrl, cube13
+                )
+                return (qo, vo, co, touch, xp, xq), flags
+            out = jax.vmap(plain)(qpos, qvel, ctrl, cube13)
+            return out, flags
+
+        _SUBSTEP_CV_CACHE[key] = f
+
+    f = _SUBSTEP_CV_CACHE[key]
+    cube13 = jnp.concatenate(
+        [state.cube_pos, state.cube_quat, state.cube_linvel, state.cube_angvel],
+        axis=-1,
+    )
+    qo, vo, co, touch, xp, xq = f(state.qpos, state.qvel, state.ctrl, cube13)
+    new = SimState(
+        qpos=qo, qvel=vo, ctrl=state.ctrl,
+        cube_pos=co[..., :3], cube_quat=co[..., 3:7],
+        cube_linvel=co[..., 7:10], cube_angvel=co[..., 10:13],
+        time=state.time + dt,
+    )
+    return new, (touch, xp, xq)
+
+
+def _substep_jnp(
+    model: RobotModel,
+    state: SimState,
+    dt: float,
+    contact: bool = True,
+    unrolled_solve: bool = True,
+    implicit_actuation: bool = False,
+) -> Tuple[SimState, jax.Array]:
+    """One physics substep (jnp reference implementation).
 
     `contact` is a static flag: False compiles a free-space program (no
     cube/table/fingertip forces) -- used for reach-only MPC rollouts and

@@ -56,32 +56,30 @@ def _R_rows(q):
     ]
 
 
-def _contacts_kernel(model: RobotModel, tip_pos_ref, tip_vel_ref, cube_ref,
-                     fc_ref, tc_ref, tf_ref, touch_ref, ttab_ref):
+def _contact_rows(model: RobotModel, tip_pos_rows, tip_vel_rows, cube):
+    """Core contact model on (1, K) rows.
+
+    tip_pos_rows/tip_vel_rows: lists of T row-triples; cube: dict with
+    row-tuples pos, quat, lv, av. Returns (force, torque, tip_forces list,
+    touch list, touching_table). Shared by the standalone contact kernel
+    and the fused substep kernel.
+    """
     T = len(model.fingertips)
     radii = [float(t.radius) for t in model.fingertips]
     h = k.CUBE_HALF_SIZE
 
-    def row(ref, i):
-        return ref[i : i + 1, :]
-
-    def vec(ref, base):
-        return (row(ref, base), row(ref, base + 1), row(ref, base + 2))
-
-    cube_pos = vec(cube_ref, 0)
-    cube_quat = (row(cube_ref, 3), row(cube_ref, 4), row(cube_ref, 5), row(cube_ref, 6))
-    cube_lv = vec(cube_ref, 7)
-    cube_av = vec(cube_ref, 10)
+    cube_pos, cube_quat = cube["pos"], cube["quat"]
+    cube_lv, cube_av = cube["lv"], cube["av"]
     R = _R_rows(cube_quat)
 
-    def Rmul(v):  # world = R @ local
+    def Rmul(v):
         return (
             R[0][0] * v[0] + R[0][1] * v[1] + R[0][2] * v[2],
             R[1][0] * v[0] + R[1][1] * v[1] + R[1][2] * v[2],
             R[2][0] * v[0] + R[2][1] * v[1] + R[2][2] * v[2],
         )
 
-    def Rtmul(v):  # local = R^T @ world
+    def Rtmul(v):
         return (
             R[0][0] * v[0] + R[1][0] * v[1] + R[2][0] * v[2],
             R[0][1] * v[0] + R[1][1] * v[1] + R[2][1] * v[2],
@@ -90,10 +88,9 @@ def _contacts_kernel(model: RobotModel, tip_pos_ref, tip_vel_ref, cube_ref,
 
     zero = jnp.zeros_like(cube_pos[0])
 
-    # ---- cube-table: 8 corners vs tabletop/floor plane ----
     force = (zero, zero, zero)
     torque = (zero, zero, zero)
-    touching = zero > 1.0  # all-false bool rows
+    touching = zero > 1.0
     for sx, sy, sz in _CORNER_SIGNS:
         local = (zero + sx * h, zero + sy * h, zero + sz * h)
         arm = Rmul(local)
@@ -109,10 +106,11 @@ def _contacts_kernel(model: RobotModel, tip_pos_ref, tip_vel_ref, cube_ref,
         torque = _add(torque, _cross(arm, f))
         touching = touching | ((pen > 0) & over)
 
-    # ---- fingertips vs cube box and table plane ----
+    tip_forces = []
+    touch = []
     for t in range(T):
-        p = vec(tip_pos_ref, 3 * t)
-        v = vec(tip_vel_ref, 3 * t)
+        p = tip_pos_rows[t]
+        v = tip_vel_rows[t]
         r = radii[t]
         local = Rtmul(_sub(p, cube_pos))
         clamped = tuple(jnp.clip(c, -h, h) for c in local)
@@ -122,7 +120,6 @@ def _contacts_kernel(model: RobotModel, tip_pos_ref, tip_vel_ref, cube_ref,
         dist = jnp.sqrt(jnp.where(outside, sq, 1.0))
         n_out = _scale(delta, 1.0 / dist)
         pen_out = r - dist
-        # inside: exit through the closest face (branchless argmin over 3)
         fd = tuple(h - jnp.abs(c) for c in local)
         sgn = tuple(jnp.sign(c + 1e-12) for c in local)
         m01 = fd[0] <= fd[1]
@@ -149,7 +146,6 @@ def _contacts_kernel(model: RobotModel, tip_pos_ref, tip_vel_ref, cube_ref,
         fr = _friction(fn, vt)
         f_tip = _add(_scale(n, fn), fr)
 
-        # tip vs table plane
         plane_z = jnp.where(_over_table(p[0], p[1]), k.TABLE_TOP_Z, 0.0)
         pen_t = plane_z - (p[2] - r)
         fn_t = _normal_force(pen_t, v[2])
@@ -159,10 +155,37 @@ def _contacts_kernel(model: RobotModel, tip_pos_ref, tip_vel_ref, cube_ref,
         f_on_cube = _sub(_scale(_scale(n, fn), -1.0), fr)
         force = _add(force, f_on_cube)
         torque = _add(torque, _cross(arm, f_on_cube))
-        for c in range(3):
-            tf_ref[3 * t + c : 3 * t + c + 1, :] = f_tip[c]
-        touch_ref[t : t + 1, :] = (pen > 0).astype(jnp.float32)
+        tip_forces.append(f_tip)
+        touch.append(pen > 0)
+    return force, torque, tip_forces, touch, touching
 
+
+def _contacts_kernel(model: RobotModel, tip_pos_ref, tip_vel_ref, cube_ref,
+                     fc_ref, tc_ref, tf_ref, touch_ref, ttab_ref):
+    T = len(model.fingertips)
+
+    def row(ref, i):
+        return ref[i : i + 1, :]
+
+    def vec(ref, base):
+        return (row(ref, base), row(ref, base + 1), row(ref, base + 2))
+
+    cube = dict(
+        pos=vec(cube_ref, 0),
+        quat=(row(cube_ref, 3), row(cube_ref, 4), row(cube_ref, 5), row(cube_ref, 6)),
+        lv=vec(cube_ref, 7),
+        av=vec(cube_ref, 10),
+    )
+    force, torque, tip_forces, touch, touching = _contact_rows(
+        model,
+        [vec(tip_pos_ref, 3 * t) for t in range(T)],
+        [vec(tip_vel_ref, 3 * t) for t in range(T)],
+        cube,
+    )
+    for t in range(T):
+        for c in range(3):
+            tf_ref[3 * t + c : 3 * t + c + 1, :] = tip_forces[t][c]
+        touch_ref[t : t + 1, :] = touch[t].astype(jnp.float32)
     for c in range(3):
         fc_ref[c : c + 1, :] = force[c]
         tc_ref[c : c + 1, :] = torque[c]

@@ -78,8 +78,13 @@ def _dot(a, b):
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
 
-def _rnea_kernel(model: RobotModel, g_z: float, q_ref, v_ref, xpos_ref,
-                 xquat_ref, axis_ref, bias_ref):
+def _rnea_rows(model: RobotModel, g_z: float, q_rows, v_rows):
+    """Core FK+RNEA recursion on (1, K) rows.
+
+    q_rows/v_rows: lists of nq rows. Returns dict with per-joint lists:
+    x, qq (quat), axis, w, v (all row-tuples), and bias (rows).
+    Shared by the standalone RNEA kernel and the fused substep kernel.
+    """
     nq = model.nq
     jp = np.asarray(model.jnt_pos, dtype=np.float32)
     jqn = np.asarray(model.jnt_quat, dtype=np.float32)
@@ -87,10 +92,7 @@ def _rnea_kernel(model: RobotModel, g_z: float, q_ref, v_ref, xpos_ref,
     I_diag = np.asarray(model.body_inertia, dtype=np.float32)
     com_l = np.asarray(model.body_com, dtype=np.float32)
 
-    def row(ref, i):
-        return ref[i : i + 1, :]
-
-    zero = jnp.zeros_like(row(q_ref, 0))
+    zero = jnp.zeros_like(q_rows[0])
     one = zero + 1.0
 
     x, qq, axis, w, v, alpha, a = [], [], [], [], [], [], []
@@ -111,8 +113,8 @@ def _rnea_kernel(model: RobotModel, g_z: float, q_ref, v_ref, xpos_ref,
         r = _qrot(qp, jpc)
         xi = _add(xp_, r)
         qi = _qmul(qp, jqc)
-        qi_dat = row(q_ref, i)
-        vi_dat = row(v_ref, i)
+        qi_dat = q_rows[i]
+        vi_dat = v_rows[i]
         if int(model.jnt_type[i]) == HINGE:
             half = 0.5 * qi_dat
             qz = (jnp.cos(half), zero, zero, jnp.sin(half))
@@ -143,20 +145,20 @@ def _rnea_kernel(model: RobotModel, g_z: float, q_ref, v_ref, xpos_ref,
 
     # inertial loads at each COM (world frame)
     f_net, n_net = [], []
+    Rs = []
     for i in range(nq):
         cl = tuple(zero + float(c) for c in com_l[i])
         c = _qrot(qq[i], cl)
         a_com = _add(_add(a[i], _cross(alpha[i], c)), _cross(w[i], _cross(w[i], c)))
-        # Iw @ y for y in {alpha, w}: Iw = R diag(I) R^T with R from quat qq[i]
         qw, qx, qy, qz_ = qq[i]
         R = [
             [1 - 2 * (qy * qy + qz_ * qz_), 2 * (qx * qy - qw * qz_), 2 * (qx * qz_ + qw * qy)],
             [2 * (qx * qy + qw * qz_), 1 - 2 * (qx * qx + qz_ * qz_), 2 * (qy * qz_ - qw * qx)],
             [2 * (qx * qz_ - qw * qy), 2 * (qy * qz_ + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
         ]
+        Rs.append(R)
 
-        def Iw_mul(y):
-            # R @ (I_diag * (R^T @ y))
+        def Iw_mul(y, R=R, i=i):
             rty = [
                 R[0][0] * y[0] + R[1][0] * y[1] + R[2][0] * y[2],
                 R[0][1] * y[0] + R[1][1] * y[1] + R[2][1] * y[2],
@@ -175,6 +177,7 @@ def _rnea_kernel(model: RobotModel, g_z: float, q_ref, v_ref, xpos_ref,
     # backward pass
     F = [None] * nq
     N = [None] * nq
+    bias = [None] * nq
     for i in range(nq - 1, -1, -1):
         cl = tuple(zero + float(c) for c in com_l[i])
         c = _qrot(qq[i], cl)
@@ -186,17 +189,31 @@ def _rnea_kernel(model: RobotModel, g_z: float, q_ref, v_ref, xpos_ref,
                 Ni = _add(_add(Ni, N[ch]), _cross(_sub(x[ch], x[i]), F[ch]))
         F[i] = Fi
         N[i] = Ni
-        tau_i = _dot(axis[i], Ni) if int(model.jnt_type[i]) == HINGE else _dot(
+        bias[i] = _dot(axis[i], Ni) if int(model.jnt_type[i]) == HINGE else _dot(
             axis[i], Fi
         )
-        bias_ref[i : i + 1, :] = tau_i
+    return dict(x=x, qq=qq, axis=axis, w=w, v=v, bias=bias, Rs=Rs, zero=zero, one=one)
 
+
+def _rnea_kernel(model: RobotModel, g_z: float, q_ref, v_ref, xpos_ref,
+                 xquat_ref, axis_ref, bias_ref):
+    nq = model.nq
+
+    def row(ref, i):
+        return ref[i : i + 1, :]
+
+    out = _rnea_rows(
+        model, g_z,
+        [row(q_ref, i) for i in range(nq)],
+        [row(v_ref, i) for i in range(nq)],
+    )
     for i in range(nq):
+        bias_ref[i : i + 1, :] = out["bias"][i]
         for c in range(3):
-            xpos_ref[i * 3 + c : i * 3 + c + 1, :] = x[i][c]
-            axis_ref[i * 3 + c : i * 3 + c + 1, :] = axis[i][c]
+            xpos_ref[i * 3 + c : i * 3 + c + 1, :] = out["x"][i][c]
+            axis_ref[i * 3 + c : i * 3 + c + 1, :] = out["axis"][i][c]
         for c in range(4):
-            xquat_ref[i * 4 + c : i * 4 + c + 1, :] = qq[i][c]
+            xquat_ref[i * 4 + c : i * 4 + c + 1, :] = out["qq"][i][c]
 
 
 def rnea_terms_batched(

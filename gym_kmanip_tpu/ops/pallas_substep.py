@@ -1,0 +1,326 @@
+"""Pallas TPU kernel: the ENTIRE physics substep as one fused program.
+
+Composes the validated row cores -- FK+RNEA (_rnea_rows), contact model
+(_contact_rows) -- with in-kernel fingertip kinematics, actuator/friction/
+limit torques, COM-Jacobian mass-matrix assembly, unrolled Cholesky solve,
+and semi-implicit integration (robot + cube free body with safe quaternion
+update). One kernel launch per substep replaces the ~40 fused-XLA kernels
+that remained after the per-stage kernels, eliminating the last of the
+launch-bound overhead in MPC rollouts.
+
+Dispatched through a custom_vmap seam (dynamics.engine.substep fast path);
+mirrors the jnp substep op-for-op and is pinned to it by interpret-mode
+tests (tests/test_pallas.py).
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_kmanip_tpu import constants as k
+from gym_kmanip_tpu.models.spec import HINGE, RobotModel
+from gym_kmanip_tpu.ops.pallas_contacts import _contact_rows
+from gym_kmanip_tpu.ops.pallas_dynamics import (
+    _add,
+    _cross,
+    _dot,
+    _qmul,
+    _qrot,
+    _rnea_rows,
+    _scale,
+    _sub,
+)
+
+_CUBE_INV_MASS = 1.0 / k.CUBE_MASS
+_CUBE_INV_INERTIA = 1.0 / k.CUBE_DIAG_INERTIA
+
+
+def _chol_rows(n, M, b):
+    """Unrolled Cholesky solve on row-matrices: M list-of-lists (lower half
+    used), b list of rows. Returns x list of rows."""
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = M[j][j]
+        for kk in range(j):
+            s = s - L[j][kk] * L[j][kk]
+        L[j][j] = jnp.sqrt(s)
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = M[i][j] if i >= j else M[j][i]
+            for kk in range(j):
+                s = s - L[i][kk] * L[j][kk]
+            L[i][j] = s * inv_d
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for kk in range(i):
+            s = s - L[i][kk] * y[kk]
+        y[i] = s / L[i][i]
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for kk in range(i + 1, n):
+            s = s - L[kk][i] * y[kk]
+        y[i] = s / L[i][i]
+    return y
+
+
+def _substep_kernel(
+    model: RobotModel,
+    dt: float,
+    contact: bool,
+    implicit_actuation: bool,
+    q_ref, v_ref, ctrl_ref, cube_ref,
+    qo_ref, vo_ref, cubeo_ref, touch_ref, xpos_ref, xquat_ref,
+):
+    nq, nu = model.nq, model.nu
+    T = len(model.fingertips)
+    kp = np.asarray(model.actuator_kp, dtype=np.float32)
+    frange = np.asarray(model.force_range, dtype=np.float32)
+    fl = np.asarray(model.jnt_frictionloss, dtype=np.float32)
+    lo = np.asarray(model.jnt_range[:, 0], dtype=np.float32)
+    hi = np.asarray(model.jnt_range[:, 1], dtype=np.float32)
+    mass = np.asarray(model.body_mass, dtype=np.float32)
+    I_diag = np.asarray(model.body_inertia, dtype=np.float32)
+    com_l = np.asarray(model.body_com, dtype=np.float32)
+    anc = np.asarray(model.ancestors)  # (nq, nq) bool
+
+    def row(ref, i):
+        return ref[i : i + 1, :]
+
+    def vec(ref, base):
+        return (row(ref, base), row(ref, base + 1), row(ref, base + 2))
+
+    q = [row(q_ref, i) for i in range(nq)]
+    v = [row(v_ref, i) for i in range(nq)]
+    ctrl = [row(ctrl_ref, i) for i in range(nu)]
+    cube = dict(
+        pos=vec(cube_ref, 0),
+        quat=(row(cube_ref, 3), row(cube_ref, 4), row(cube_ref, 5), row(cube_ref, 6)),
+        lv=vec(cube_ref, 7),
+        av=vec(cube_ref, 10),
+    )
+
+    # ---- forward dynamics terms ----
+    rn = _rnea_rows(model, -9.81, q, v)
+    x, qq, axis, w, vb = rn["x"], rn["qq"], rn["axis"], rn["w"], rn["v"]
+    bias = rn["bias"]
+    zero = rn["zero"]
+
+    # fingertip kinematics from body frames
+    tip_pos, tip_vel = [], []
+    for t in model.fingertips:
+        par = t.parent
+        off = tuple(zero + float(c) for c in t.pos)
+        p = _add(x[par], _qrot(qq[par], off))
+        vt = _add(vb[par], _cross(w[par], _sub(p, x[par])))
+        tip_pos.append(p)
+        tip_vel.append(vt)
+
+    # ---- contacts ----
+    if contact and T > 0:
+        force_c, torque_c, tip_forces, touch, _ttab = _contact_rows(
+            model, tip_pos, tip_vel, cube
+        )
+    else:
+        force_c = (zero, zero, zero)
+        torque_c = (zero, zero, zero)
+        tip_forces = [(zero, zero, zero)] * T
+        touch = [zero > 1.0] * T
+
+    # ---- joint torques ----
+    tau = []
+    for i in range(nq):
+        t_i = zero
+        if i < nu and kp[i] != 0.0:
+            raw = float(kp[i]) * (ctrl[i] - q[i])
+            if np.isfinite(frange[i, 0]):
+                raw = jnp.clip(raw, float(frange[i, 0]), float(frange[i, 1]))
+            t_i = t_i + raw
+        if fl[i] != 0.0:
+            t_i = t_i - float(fl[i]) * jnp.tanh(v[i] / 0.01)
+        t_i = t_i - k.JOINT_DAMPING * v[i]
+        # joint-limit penalty
+        over = jnp.maximum(q[i] - float(hi[i]), 0.0)
+        under = jnp.maximum(float(lo[i]) - q[i], 0.0)
+        t_i = t_i + k.LIMIT_STIFFNESS * (under - over)
+        t_i = t_i - k.LIMIT_DAMPING * v[i] * ((over > 0) | (under > 0))
+        t_i = t_i - bias[i]
+        if implicit_actuation and i < nu:
+            t_i = t_i - dt * float(kp[i]) * v[i]
+        tau.append(t_i)
+
+    # contact reaction torques: tau_j += sum_t jv_{t,j} . f_t
+    for ti, t in enumerate(model.fingertips):
+        par = t.parent
+        f = tip_forces[ti]
+        for j in range(nq):
+            if not anc[par, j]:
+                continue
+            if int(model.jnt_type[j]) == HINGE:
+                jv = _cross(axis[j], _sub(tip_pos[ti], x[j]))
+            else:
+                jv = axis[j]
+            tau[j] = tau[j] + _dot(jv, f)
+
+    # ---- mass matrix (COM-Jacobian contraction) ----
+    com_w = []
+    Iw_ax = [dict() for _ in range(nq)]  # per body: Iw_i @ axis_j rows
+    for i in range(nq):
+        cl = tuple(zero + float(c) for c in com_l[i])
+        com_w.append(_add(x[i], _qrot(qq[i], cl)))
+    R_list = rn["Rs"]
+
+    def Iw_mul(i, y):
+        R = R_list[i]
+        rty = [
+            R[0][0] * y[0] + R[1][0] * y[1] + R[2][0] * y[2],
+            R[0][1] * y[0] + R[1][1] * y[1] + R[2][1] * y[2],
+            R[0][2] * y[0] + R[1][2] * y[1] + R[2][2] * y[2],
+        ]
+        sy = [rty[j] * float(I_diag[i][j]) for j in range(3)]
+        return (
+            R[0][0] * sy[0] + R[0][1] * sy[1] + R[0][2] * sy[2],
+            R[1][0] * sy[0] + R[1][1] * sy[1] + R[1][2] * sy[2],
+            R[2][0] * sy[0] + R[2][1] * sy[1] + R[2][2] * sy[2],
+        )
+
+    jv_rows = [dict() for _ in range(nq)]  # jv_rows[i][j]
+    for i in range(nq):
+        for j in range(nq):
+            if not anc[i, j]:
+                continue
+            if int(model.jnt_type[j]) == HINGE:
+                jv_rows[i][j] = _cross(axis[j], _sub(com_w[i], x[j]))
+                Iw_ax[i][j] = Iw_mul(i, axis[j])
+            else:
+                jv_rows[i][j] = axis[j]
+
+    M = [[None] * nq for _ in range(nq)]
+    for j in range(nq):
+        for kk in range(j + 1):
+            s = zero
+            for i in range(nq):
+                if not (anc[i, j] and anc[i, kk]):
+                    continue
+                s = s + float(mass[i]) * _dot(jv_rows[i][j], jv_rows[i][kk])
+                if (
+                    int(model.jnt_type[j]) == HINGE
+                    and int(model.jnt_type[kk]) == HINGE
+                ):
+                    s = s + _dot(axis[j], Iw_ax[i][kk])
+            M[j][kk] = s
+    for i in range(nq):
+        extra = float(model.armature[i]) + dt * k.JOINT_DAMPING
+        if implicit_actuation and i < nu:
+            extra += dt * dt * float(kp[i])
+        M[i][i] = M[i][i] + extra
+
+    # ---- solve + integrate robot ----
+    qacc = _chol_rows(nq, M, tau)
+    for i in range(nq):
+        v_new = v[i] + dt * qacc[i]
+        q_new = q[i] + dt * v_new
+        q_cl = jnp.clip(q_new, float(lo[i]), float(hi[i]))
+        v_new = jnp.where(
+            ((q_new > float(hi[i])) & (v_new > 0))
+            | ((q_new < float(lo[i])) & (v_new < 0)),
+            0.0,
+            v_new,
+        )
+        qo_ref[i : i + 1, :] = q_cl
+        vo_ref[i : i + 1, :] = v_new
+
+    # ---- cube free body ----
+    lv = _add(cube["lv"], _scale(force_c, dt * _CUBE_INV_MASS))
+    lv = (lv[0], lv[1], lv[2] + dt * k.GRAVITY[2])
+    av = _add(cube["av"], _scale(torque_c, dt * _CUBE_INV_INERTIA))
+    lv = tuple(
+        c - dt * k.CUBE_FRICTIONLOSS * jnp.tanh(c / 0.01) * _CUBE_INV_MASS for c in lv
+    )
+    av = tuple(
+        c - dt * k.CUBE_FRICTIONLOSS * jnp.tanh(c / 0.01) * _CUBE_INV_INERTIA
+        for c in av
+    )
+    pos = _add(cube["pos"], _scale(lv, dt))
+    # safe quaternion integrate (mirrors utils.rotations.quat_integrate)
+    rot_v = _scale(av, dt)
+    sq = _dot(rot_v, rot_v)
+    small = sq < 1e-14
+    angle = jnp.sqrt(jnp.where(small, 1.0, sq))
+    half = 0.5 * angle
+    scale_s = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / angle)
+    w_s = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
+    dq = (w_s, scale_s * rot_v[0], scale_s * rot_v[1], scale_s * rot_v[2])
+    quat = _qmul(dq, cube["quat"])
+    qn = jnp.sqrt(
+        jnp.maximum(
+            quat[0] * quat[0] + quat[1] * quat[1] + quat[2] * quat[2]
+            + quat[3] * quat[3],
+            1e-12,
+        )
+    )
+    quat = tuple(c / qn for c in quat)
+
+    for c in range(3):
+        cubeo_ref[c : c + 1, :] = pos[c]
+        cubeo_ref[7 + c : 8 + c, :] = lv[c]
+        cubeo_ref[10 + c : 11 + c, :] = av[c]
+    for c in range(4):
+        cubeo_ref[3 + c : 4 + c, :] = quat[c]
+
+    for t in range(max(T, 1)):
+        if T > 0:
+            touch_ref[t : t + 1, :] = touch[t].astype(jnp.float32)
+        else:
+            touch_ref[t : t + 1, :] = zero
+    for i in range(nq):
+        for c in range(3):
+            xpos_ref[i * 3 + c : i * 3 + c + 1, :] = x[i][c]
+        for c in range(4):
+            xquat_ref[i * 4 + c : i * 4 + c + 1, :] = qq[i][c]
+
+
+def substep_batched(
+    model: RobotModel,
+    dt: float,
+    contact: bool,
+    implicit_actuation: bool,
+    qpos: jax.Array,  # (K, nq)
+    qvel: jax.Array,  # (K, nq)
+    ctrl: jax.Array,  # (K, nu)
+    cube13: jax.Array,  # (K, 13) pos, quat, linvel, angvel
+):
+    """One fused substep for the whole rollout batch.
+
+    Returns (qpos', qvel', cube13', touch (K,T) bool, xpos (K,nq,3),
+    xquat (K,nq,4)) -- frames are the PRE-step frames, matching the jnp
+    substep's aux contract.
+    """
+    K, nq = qpos.shape
+    T = max(len(model.fingertips), 1)
+    qo, vo, co, touch, xp, xq = pl.pallas_call(
+        partial(_substep_kernel, model, dt, contact, implicit_actuation),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, K), qpos.dtype),
+            jax.ShapeDtypeStruct((nq, K), qpos.dtype),
+            jax.ShapeDtypeStruct((13, K), qpos.dtype),
+            jax.ShapeDtypeStruct((T, K), jnp.float32),
+            jax.ShapeDtypeStruct((nq * 3, K), qpos.dtype),
+            jax.ShapeDtypeStruct((nq * 4, K), qpos.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
+    )(qpos.T, qvel.T, ctrl.T, cube13.T)
+    return (
+        qo.T,
+        vo.T,
+        co.T,
+        touch.T > 0.5,
+        xp.T.reshape(K, nq, 3),
+        xq.T.reshape(K, nq, 4),
+    )

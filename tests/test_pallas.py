@@ -139,3 +139,70 @@ def test_contacts_kernel_interpret_mode():
     )
     assert bool(jnp.all((touch.T > 0.5) == ref.touch_tip))
     assert bool(jnp.all((ttab[0] > 0.5) == ref.touch_table))
+
+
+@pytest.mark.parametrize("dt,implicit", [(0.02, True), (0.002, False)])
+def test_fused_substep_kernel_interpret_mode(dt, implicit):
+    """The whole-substep kernel matches the jnp substep in both MPC mode
+    (dt=0.02, stable-PD) and env mode (dt=0.002, explicit)."""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+
+    from gym_kmanip_tpu.dynamics.engine import _substep_jnp
+    from gym_kmanip_tpu.dynamics.state import SimState
+    from gym_kmanip_tpu.models import get_model
+    from gym_kmanip_tpu.ops.pallas_substep import _substep_kernel
+
+    m = get_model("solo_arm")
+    nq, nu, T, K = m.nq, m.nu, len(m.fingertips), 8
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(np.tile(m.home_qpos, (K, 1)) + rng.randn(K, nq) * 0.05, dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(K, nq) * 0.3, dtype=jnp.float32)
+    ctrl = jnp.asarray(
+        np.tile(m.home_qpos[:nu], (K, 1)) + rng.randn(K, nu) * 0.05, dtype=jnp.float32
+    )
+    cube_pos = jnp.asarray(
+        np.tile([0.23, 0.52, 0.62], (K, 1)) + rng.randn(K, 3) * 0.01, dtype=jnp.float32
+    )
+    qn = rng.randn(K, 4) * 0.05 + np.array([1.0, 0, 0, 0])
+    qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+    cube13 = jnp.concatenate(
+        [cube_pos, jnp.asarray(qn, dtype=jnp.float32),
+         jnp.asarray(rng.randn(K, 3) * 0.1, dtype=jnp.float32),
+         jnp.asarray(rng.randn(K, 3) * 0.3, dtype=jnp.float32)], axis=1,
+    )
+
+    qo, vo, co, touch, xp, xq = pl.pallas_call(
+        partial(_substep_kernel, m, dt, True, implicit),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, K), jnp.float32),
+            jax.ShapeDtypeStruct((nq, K), jnp.float32),
+            jax.ShapeDtypeStruct((13, K), jnp.float32),
+            jax.ShapeDtypeStruct((T, K), jnp.float32),
+            jax.ShapeDtypeStruct((nq * 3, K), jnp.float32),
+            jax.ShapeDtypeStruct((nq * 4, K), jnp.float32),
+        ),
+        interpret=True,
+    )(q.T, v.T, ctrl.T, cube13.T)
+
+    def ref_one(qi, vi, ci, cb):
+        s = SimState(
+            qpos=qi, qvel=vi, ctrl=ci, cube_pos=cb[:3], cube_quat=cb[3:7],
+            cube_linvel=cb[7:10], cube_angvel=cb[10:13], time=jnp.zeros(()),
+        )
+        s2, (tch, xpos, xquat) = _substep_jnp(m, s, dt, True, True, implicit)
+        return (
+            s2.qpos, s2.qvel,
+            jnp.concatenate([s2.cube_pos, s2.cube_quat, s2.cube_linvel, s2.cube_angvel]),
+            tch, xpos, xquat,
+        )
+
+    r = jax.vmap(ref_one)(q, v, ctrl, cube13)
+    np.testing.assert_allclose(np.asarray(qo.T), np.asarray(r[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vo.T), np.asarray(r[1]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(co.T), np.asarray(r[2]), atol=1e-4)
+    assert bool(jnp.all((touch.T > 0.5) == r[3]))
+    np.testing.assert_allclose(
+        np.asarray(xp.T.reshape(K, nq, 3)), np.asarray(r[4]), atol=1e-5
+    )
