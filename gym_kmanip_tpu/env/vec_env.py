@@ -1,0 +1,121 @@
+"""Vectorized TPU env: N independent KManip envs stepped as ONE program.
+
+No reference analog (the reference's only batch is 1 env, SURVEY.md §2.4);
+this is the RL-training counterpart of the MPC rollout fan-out: the whole
+(decode -> IK -> physics -> obs -> reward) core from env/task.py is vmapped
+over an (N, ...) state batch, so on TPU the physics substeps dispatch to the
+fused Pallas kernel (ops/pallas_substep) and N envs cost barely more than
+one. Episode accounting (step counts, truncation, auto-reset with fresh cube
+spawns) runs on-device too -- a training loop touches the host only for its
+own policy.
+
+API follows the gymnasium VectorEnv conventions (autoreset on truncation,
+batched obs/reward/terminated/truncated) without depending on its class
+hierarchy.
+"""
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_kmanip_tpu import constants as k
+from gym_kmanip_tpu.env.config import CONFIGS, EnvConfig
+from gym_kmanip_tpu.env.task import TaskOut, _decode_action, _observe, _reward
+from gym_kmanip_tpu.dynamics.engine import control_step
+from gym_kmanip_tpu.dynamics.state import SimState
+from gym_kmanip_tpu.models import get_model
+
+
+class KManipVecEnv:
+    def __init__(self, env_id: str, num_envs: int, seed: int = 0):
+        if env_id not in CONFIGS:
+            raise KeyError(f"unknown env id {env_id}; one of {list(CONFIGS)}")
+        self.cfg: EnvConfig = CONFIGS[env_id]
+        if any("camera" in o for o in self.cfg.obs_list):
+            raise ValueError(
+                "KManipVecEnv supports state-obs envs; use the Vision envs "
+                "through the single-env API or render externally"
+            )
+        self.num_envs = num_envs
+        self.model = get_model(self.cfg.mjcf_filename)
+        self._rng = jax.random.PRNGKey(seed)
+        cfg, model = self.cfg, self.model
+
+        spawn = jnp.asarray(k.CUBE_SPAWN_RANGE, dtype=jnp.float32)
+
+        def reset_one(key) -> SimState:
+            from gym_kmanip_tpu.dynamics.state import init_state
+
+            cube = jax.random.uniform(
+                key, (3,), minval=spawn[:, 0], maxval=spawn[:, 1]
+            )
+            return init_state(model, cube_pos=cube)
+
+        def step_one(state: SimState, action: Dict[str, jax.Array], steps, key):
+            ctrl, mocap_pos, mocap_quat = _decode_action(model, cfg, state, action)
+            state, aux = control_step(model, state, ctrl)
+            reward = _reward(model, cfg, state, aux)
+            steps = steps + 1
+            truncated = steps >= cfg.max_episode_steps
+            # autoreset (gymnasium vector semantics): fresh episode state on
+            # truncation, fresh cube spawn from the per-env key
+            fresh = reset_one(key)
+            state = jax.tree.map(
+                lambda a, b: jnp.where(truncated, a, b), fresh, state
+            )
+            steps = jnp.where(truncated, 0, steps)
+            obs = _observe(model, cfg, state)
+            return state, obs, reward, truncated, steps
+
+        @jax.jit
+        def reset_all(key):
+            keys = jax.random.split(key, num_envs)
+            states = jax.vmap(reset_one)(keys)
+            obs = jax.vmap(partial(_observe, model, cfg))(states)
+            return states, obs
+
+        @jax.jit
+        def step_all(states, actions, steps, key):
+            keys = jax.random.split(key, num_envs)
+            return jax.vmap(step_one)(states, actions, steps, keys)
+
+        self._reset_all = reset_all
+        self._step_all = step_all
+        self._states: Optional[SimState] = None
+        self._steps = jnp.zeros((num_envs,), dtype=jnp.int32)
+
+    # -- API ---------------------------------------------------------------
+    def reset(self, seed: Optional[int] = None):
+        if seed is not None:
+            self._rng = jax.random.PRNGKey(seed)
+        self._rng, sub = jax.random.split(self._rng)
+        self._states, obs = self._reset_all(sub)
+        self._steps = jnp.zeros((self.num_envs,), dtype=jnp.int32)
+        return {n: np.asarray(v) for n, v in obs.items()}
+
+    def step(self, actions: Dict[str, np.ndarray]):
+        """actions: dict of (N, dim) arrays in the env's action space."""
+        assert self._states is not None, "call reset() first"
+        jactions = {
+            n: jnp.asarray(v, dtype=jnp.float32).reshape(self.num_envs, -1)
+            for n, v in actions.items()
+        }
+        self._rng, sub = jax.random.split(self._rng)
+        self._states, obs, reward, truncated, self._steps = self._step_all(
+            self._states, jactions, self._steps, sub
+        )
+        terminated = np.zeros(self.num_envs, dtype=bool)  # TimeLimit-only, like
+        # the reference (SURVEY.md §3.3)
+        return (
+            {n: np.asarray(v) for n, v in obs.items()},
+            np.asarray(reward),
+            terminated,
+            np.asarray(truncated),
+            {},
+        )
+
+    def close(self):
+        self._states = None
