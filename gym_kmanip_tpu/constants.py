@@ -284,3 +284,9 @@ CONTACT_SLIP_VEL: float = 0.01  # m/s smoothing velocity for Coulomb friction
 JOINT_DAMPING: float = 1.0  # N m s/rad on every robot joint
 LIMIT_STIFFNESS: float = 2000.0
 LIMIT_DAMPING: float = 5.0
+
+# Cube velocity bounds: an energy cap that keeps coarse-dt (20 ms) MPC
+# rollouts finite when penalty contacts go stiff (dt*sqrt(k/m) >> 1 there).
+# The 2 ms plant never approaches these, so env/MuJoCo parity is unaffected.
+CUBE_MAX_LINVEL: float = 4.0  # m/s
+CUBE_MAX_ANGVEL: float = 50.0  # rad/s

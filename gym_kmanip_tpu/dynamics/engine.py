@@ -263,6 +263,9 @@ def _substep_jnp(
     # velocity components, divided by mass/inertia
     linvel = linvel - dt * k.CUBE_FRICTIONLOSS * jnp.tanh(linvel / 0.01) * _CUBE_INV_MASS
     angvel = angvel - dt * k.CUBE_FRICTIONLOSS * jnp.tanh(angvel / 0.01) * _CUBE_INV_INERTIA
+    # energy cap (see constants.CUBE_MAX_LINVEL)
+    linvel = jnp.clip(linvel, -k.CUBE_MAX_LINVEL, k.CUBE_MAX_LINVEL)
+    angvel = jnp.clip(angvel, -k.CUBE_MAX_ANGVEL, k.CUBE_MAX_ANGVEL)
     cube_pos = state.cube_pos + dt * linvel
     cube_quat = rot.quat_integrate(state.cube_quat, angvel, dt)
 
@@ -317,6 +320,7 @@ def control_step(
         state.cube_pos, state.cube_quat, state.cube_linvel, state.cube_angvel
     )
 
+    tip_pos = _tips_from_frames(model, xpos, xquat)
     aux = StepAux(
         touch_r=jnp.any(touch_last & sides_r),
         touch_l=jnp.any(touch_last & sides_l),
@@ -324,8 +328,25 @@ def control_step(
         site_pos=jnp.stack(sp),
         site_quat=jnp.stack(sq),
         qfrc_contact=jnp.zeros_like(state.qvel),
+        tip_pos=tip_pos,
     )
     return state, aux
+
+
+def _tips_from_frames(model: RobotModel, xpos, xquat):
+    """World fingertip centers from joint frames (no Jacobians)."""
+    if not model.fingertips:
+        return jnp.zeros(xpos.shape[:-2] + (0, 3), dtype=xpos.dtype)
+    return jnp.stack(
+        [
+            xpos[..., t.parent, :]
+            + rot.quat_rotate(
+                xquat[..., t.parent, :], jnp.asarray(t.pos, dtype=xpos.dtype)
+            )
+            for t in model.fingertips
+        ],
+        axis=-2,
+    )
 
 
 def make_control_step(model: RobotModel):

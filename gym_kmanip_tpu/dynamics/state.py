@@ -43,6 +43,7 @@ class StepAux(NamedTuple):
     site_pos: jax.Array  # (n_sites, 3) world EE-site positions
     site_quat: jax.Array  # (n_sites, 4)
     qfrc_contact: jax.Array  # (nq,) contact torques on the robot
+    tip_pos: jax.Array  # (T, 3) world fingertip sphere centers
 
 
 def init_state(model: RobotModel, cube_pos=None, cube_quat=None) -> SimState:

@@ -177,6 +177,8 @@ def make_task(cfg):
             sq.append(qu)
         from gym_kmanip_tpu.dynamics.state import StepAux
 
+        from gym_kmanip_tpu.dynamics.engine import _tips_from_frames
+
         aux = StepAux(
             touch_r=jnp.asarray(False),
             touch_l=jnp.asarray(False),
@@ -184,6 +186,7 @@ def make_task(cfg):
             site_pos=jnp.stack(sp),
             site_quat=jnp.stack(sq),
             qfrc_contact=jnp.zeros_like(state.qvel),
+            tip_pos=_tips_from_frames(model, xpos, xquat),
         )
         obs = _observe(model, cfg, state)
         reward = _reward(model, cfg, state, aux)

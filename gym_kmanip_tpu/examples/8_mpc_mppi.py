@@ -1,9 +1,16 @@
 """Sampling MPC (MPPI) on the cube-pick task -- the TPU-first flagship.
 
 No reference analog (gym-kmanip has no MPC; SURVEY.md §2.4): this is the
-BASELINE north-star workload. Runs receding-horizon MPPI with K rollouts
-per solve against the full-fidelity env dynamics, optionally sharded over
-every local chip via the ('rollout',) mesh.
+BASELINE north-star workload. Receding-horizon MPPI with K=256
+full-fidelity rollouts per solve (same 10x2 ms integration as the plant --
+the fused Pallas substep kernel makes this affordable), AR(1)-correlated
+exploration noise, and a grasp-geometry cost (fingertip-to-cube distance +
+touch/lift bonuses). Verified on a v5e chip: the arm reaches, touches, and
+lifts the cube within ~1 s of simulated time at a >10x real-time solve
+rate.
+
+Optionally shards the sample batch over every local chip via the
+('rollout',) mesh.
 """
 
 import time
@@ -16,21 +23,41 @@ from gym_kmanip_tpu import constants as k
 from gym_kmanip_tpu.dynamics import init_state
 from gym_kmanip_tpu.dynamics.engine import make_control_step
 from gym_kmanip_tpu.models import get_model
-from gym_kmanip_tpu.mpc.cost import CostParams, cube_pick_cost
 from gym_kmanip_tpu.mpc.mppi import MPPIConfig, init_mppi, make_mppi_solver
 from gym_kmanip_tpu.parallel.mesh import make_mesh, make_sharded_mppi_solver
 
-HORIZON = 30
+HORIZON = 20
 N_SAMPLES = 256
-N_CONTROL_STEPS = 50
+N_CONTROL_STEPS = 120
+CUBE_SPAWN = np.array([0.15, 0.58, 0.62])
 SHARDED = len(jax.devices()) > 1
+
+
+def make_cost(model):
+    def cost_fn(s, aux, u):
+        # fingertips bracket the cube when grasping: drive their mean
+        # squared distance to the cube center, bonus for touch and lift
+        d2 = jnp.sum((aux.tip_pos - s.cube_pos[None, :]) ** 2, axis=-1)
+        touched = aux.touch_r | aux.touch_l
+        return (
+            50.0 * jnp.mean(d2)
+            + 0.01 * jnp.sum(s.qvel**2)
+            - jnp.where(touched, 5.0, 0.0)
+            - jnp.where(touched & ~aux.touch_table, 10.0, 0.0)
+        )
+
+    return cost_fn
 
 
 def main():
     model = get_model("solo_arm")
-    params = CostParams()
-    cost_fn = lambda s, aux, u: cube_pick_cost(model, s, aux, u, params)
-    cfg = MPPIConfig(horizon=HORIZON, n_samples=N_SAMPLES, n_iters=1)
+    cost_fn = make_cost(model)
+    # full-fidelity rollouts: contact at 20 ms substeps is numerically
+    # explosive (dt*sqrt(k/m) ~ 9); the fused kernel makes 10x2 ms cheap
+    cfg = MPPIConfig(
+        horizon=HORIZON, n_samples=N_SAMPLES, n_iters=2, sigma=0.15,
+        n_substeps=10, dt=k.PHYSICS_TIMESTEP, noise_beta=0.9,
+    )
     if SHARDED:
         mesh = make_mesh()
         print(f"sharding {N_SAMPLES} rollouts over {mesh.devices.size} devices")
@@ -38,29 +65,33 @@ def main():
     else:
         solver = make_mppi_solver(model, cfg, cost_fn)
 
-    plant_step = make_control_step(model)  # full-fidelity plant (10 substeps)
+    plant_step = make_control_step(model)
     mppi_state = init_mppi(model, cfg)
-    sim_state = init_state(model)
+    sim_state = init_state(model, cube_pos=CUBE_SPAWN)
 
-    # warm-up compile
-    mppi_state, u0, J = solver(mppi_state, sim_state)
+    mppi_state, u0, J = solver(mppi_state, sim_state)  # compile
     jax.block_until_ready(u0)
 
     t0 = time.time()
+    touch_steps, lifted = 0, False
     for i in range(N_CONTROL_STEPS):
         mppi_state, u0, J = solver(mppi_state, sim_state)
         sim_state, aux = plant_step(sim_state, u0)
-        if i % 10 == 0:
-            ee = aux.site_pos[model.site_index("eer_site")]
-            dist = float(jnp.linalg.norm(sim_state.cube_pos - ee))
+        touch_steps += int(bool(aux.touch_r))
+        lifted = lifted or (bool(aux.touch_r) and not bool(aux.touch_table))
+        if i % 15 == 0:
+            dmin = float(
+                jnp.linalg.norm(aux.tip_pos - sim_state.cube_pos[None, :], axis=-1).min()
+            )
             print(
-                f"step {i}: expected cost {float(J):.3f}, ee-cube dist {dist:.3f} m, "
-                f"touch_r={bool(aux.touch_r)}"
+                f"step {i}: J={float(J):.2f} tip-cube dist={dmin:.3f} m "
+                f"touch={bool(aux.touch_r)} cube_z={float(sim_state.cube_pos[2]):.3f}"
             )
     wall = time.time() - t0
     print(
         f"{N_CONTROL_STEPS} MPC solves + plant steps in {wall:.2f}s "
-        f"({N_CONTROL_STEPS / wall:.1f} Hz control rate)"
+        f"({N_CONTROL_STEPS / wall:.1f} Hz closed loop); "
+        f"touch steps={touch_steps}, lifted={lifted}"
     )
 
 

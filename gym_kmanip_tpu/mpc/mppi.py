@@ -18,6 +18,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gym_kmanip_tpu import constants as k
 from gym_kmanip_tpu.dynamics.state import SimState
@@ -34,11 +35,37 @@ class MPPIConfig(NamedTuple):
     n_substeps: int = 1
     dt: float = k.CONTROL_TIMESTEP
     contact: bool = True  # False = free-space rollouts (reach-only tasks)
+    # AR(1) time correlation of the exploration noise ("smooth MPPI"):
+    # eps_t = beta eps_{t-1} + sqrt(1-beta^2) xi_t. White noise (beta=0)
+    # jiggles the position targets incoherently -- candidates pay velocity
+    # cost with no net EE displacement and reaching never improves; beta
+    # ~0.8-0.95 makes candidates drift coherently
+    noise_beta: float = 0.85
 
 
 class MPPIState(NamedTuple):
     nominal: jax.Array  # (H, nu) current nominal control-target sequence
     rng: jax.Array
+
+
+def sample_noise(
+    key: jax.Array, n_samples: int, horizon: int, nu: int,
+    sigma: jax.Array, beta: float,
+) -> jax.Array:
+    """(K, H, nu) exploration noise, AR(1)-correlated along the horizon with
+    stationary std `sigma` (per-actuator)."""
+    xi = jax.random.normal(key, (n_samples, horizon, nu), dtype=jnp.float32) * sigma
+    if beta <= 0.0 or horizon == 1:
+        return xi
+    g = float(np.sqrt(1.0 - beta * beta))
+
+    def body(prev, x):
+        e = beta * prev + g * x
+        return e, e
+
+    # stationary start: e_0 = xi_0 (std sigma), filter the rest
+    _, eps_tail = jax.lax.scan(body, xi[:, 0], xi[:, 1:].transpose(1, 0, 2))
+    return jnp.concatenate([xi[:, :1], eps_tail.transpose(1, 0, 2)], axis=1)
 
 
 def sigma_per_actuator(model: RobotModel, sigma: float) -> jax.Array:
@@ -77,9 +104,8 @@ def mppi_solve(
     def one_iter(carry, _):
         nominal, proposal, rng = carry
         rng, sub = jax.random.split(rng)
-        eps = (
-            jax.random.normal(sub, (cfg.n_samples, cfg.horizon, model.nu), dtype=jnp.float32)
-            * sigma
+        eps = sample_noise(
+            sub, cfg.n_samples, cfg.horizon, model.nu, sigma, cfg.noise_beta
         )
         eps = eps.at[0].set(0.0)  # the nominal itself competes
         cand = jnp.clip(nominal[None] + eps, lo, hi)  # (K,H,nu)

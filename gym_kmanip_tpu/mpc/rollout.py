@@ -71,6 +71,8 @@ def mpc_step(
         )
     else:
         touch_table = jnp.asarray(False)
+    from gym_kmanip_tpu.dynamics.engine import _tips_from_frames
+
     aux = StepAux(
         touch_r=jnp.any(touch_last & sides_r),
         touch_l=jnp.any(touch_last & sides_l),
@@ -78,6 +80,7 @@ def mpc_step(
         site_pos=jnp.stack(sp),
         site_quat=jnp.stack(sq),
         qfrc_contact=jnp.zeros_like(state.qvel),
+        tip_pos=_tips_from_frames(model, xpos, xquat),
     )
     return state, aux
 

@@ -246,6 +246,9 @@ def _substep_kernel(
         c - dt * k.CUBE_FRICTIONLOSS * jnp.tanh(c / 0.01) * _CUBE_INV_INERTIA
         for c in av
     )
+    # energy cap (see constants.CUBE_MAX_LINVEL)
+    lv = tuple(jnp.clip(c, -k.CUBE_MAX_LINVEL, k.CUBE_MAX_LINVEL) for c in lv)
+    av = tuple(jnp.clip(c, -k.CUBE_MAX_ANGVEL, k.CUBE_MAX_ANGVEL) for c in av)
     pos = _add(cube["pos"], _scale(lv, dt))
     # safe quaternion integrate (mirrors utils.rotations.quat_integrate)
     rot_v = _scale(av, dt)

@@ -75,11 +75,11 @@ def make_sharded_mppi_solver(
     )
     def sharded_iter(nominal, proposal, sim_state, keys):
         # keys: (1,) per-device slice of the (n_dev,) key batch
-        from gym_kmanip_tpu.mpc.mppi import sigma_per_actuator
+        from gym_kmanip_tpu.mpc.mppi import sample_noise, sigma_per_actuator
 
-        eps = (
-            jax.random.normal(keys[0], (local_k, cfg.horizon, model.nu), dtype=jnp.float32)
-            * sigma_per_actuator(model, cfg.sigma)
+        eps = sample_noise(
+            keys[0], local_k, cfg.horizon, model.nu,
+            sigma_per_actuator(model, cfg.sigma), cfg.noise_beta,
         )
         # device 0 reserves slot 0 for the zero-noise nominal and slot 1 for
         # the carried weighted-average proposal (see mppi.mppi_solve)
