@@ -40,8 +40,12 @@ def main():
     try:
         import imageio
 
-        imageio.mimsave(os.path.join(OUT_DIR, "viewer.mp4"), frames, fps=30)
-        print(f"wrote {OUT_DIR}/viewer.mp4")
+        try:
+            imageio.mimsave(os.path.join(OUT_DIR, "viewer.mp4"), frames, fps=30)
+            print(f"wrote {OUT_DIR}/viewer.mp4")
+        except Exception:
+            imageio.mimsave(os.path.join(OUT_DIR, "viewer.gif"), frames, fps=25, loop=0)
+            print(f"no ffmpeg backend; wrote {OUT_DIR}/viewer.gif")
     except ImportError:
         for i, f in enumerate(frames):
             np.save(os.path.join(OUT_DIR, f"frame_{i:03d}.npy"), f)

@@ -26,8 +26,14 @@ def main():
     env.close()
     import imageio
 
-    imageio.mimsave(VIDEO_PATH, frames, fps=k.FPS)
-    print(f"wrote {VIDEO_PATH}")
+    try:
+        imageio.mimsave(VIDEO_PATH, frames, fps=k.FPS)
+        print(f"wrote {VIDEO_PATH}")
+    except Exception:
+        # images with no ffmpeg backend: fall back to GIF (always available)
+        gif = VIDEO_PATH.rsplit(".", 1)[0] + ".gif"
+        imageio.mimsave(gif, frames, fps=min(k.FPS, 25), loop=0)
+        print(f"no ffmpeg backend; wrote {gif}")
 
 
 if __name__ == "__main__":
