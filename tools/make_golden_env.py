@@ -1,0 +1,126 @@
+"""Generate an env-level golden trace by RUNNING the actual reference env.
+
+dm_control + mujoco are installed, so the reference package itself
+(/root/reference/gym_kmanip) can execute here -- the only blocker is its
+.gitignored STL meshes. This tool builds mesh-free assets (tools/
+make_golden.py pipeline + a primitive box standing in for the mesh
+tabletop, dimensions from our constants) with inertials/damping matched to
+the engine's estimates, points the reference at them, runs KManipSoloArm
+with a fixed EE-delta action sequence, and records per-step observations.
+
+tests/test_env_parity.py then replays the identical actions through OUR env
+and compares the full pipeline end to end (action decode -> IK -> physics
+-> obs normalization -> reward). The stripped reference has no finger geoms
+(true upstream too -- its touch reward never fires), and contact-model
+differences only matter if the gripper hits the cube, which the scripted
+sequence avoids.
+
+Run:  python tools/make_golden_env.py
+"""
+
+import os
+import sys
+import tempfile
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tools.make_golden import build_xml  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+N_STEPS = 20
+SEED = 11
+
+
+def build_env_xml() -> str:
+    from gym_kmanip_tpu import constants as k
+    from gym_kmanip_tpu.models import get_model
+
+    model = get_model("solo_arm")
+    root = ET.fromstring(build_xml("_env_solo_arm.xml"))
+
+    name2id = {n: i for i, n in enumerate(model.joint_names)}
+
+    def visit(body):
+        j = body.find("joint")
+        if j is not None and j.get("name") in name2id:
+            i = name2id[j.get("name")]
+            j.set("damping", str(k.JOINT_DAMPING))
+            j.set("armature", str(model.armature[i]))
+            ine = body.find("inertial")
+            if ine is None:
+                ine = ET.SubElement(body, "inertial")
+            ine.set("pos", " ".join(str(x) for x in model.body_com[i]))
+            ine.set("mass", str(model.body_mass[i]))
+            ine.set("diaginertia", " ".join(str(x) for x in model.body_inertia[i]))
+        for ch in body.findall("body"):
+            visit(ch)
+
+    for wb in root.findall("worldbody"):
+        for b in wb.findall("body"):
+            visit(b)
+        # primitive tabletop replacing the stripped mesh (top surface at
+        # TABLE_TOP_Z, extents from our constants)
+        for body in wb.findall("body"):
+            if body.get("name") == "table":
+                half_z = (k.TABLE_TOP_Z - 0.5) / 2.0
+                ET.SubElement(
+                    body, "geom",
+                    dict(
+                        name="table", type="box",
+                        size=f"{k.TABLE_HALF_X} {k.TABLE_HALF_Y} {half_z}",
+                        pos=f"0 0 {half_z}",
+                        contype="1", conaffinity="1",
+                    ),
+                )
+    return ET.tostring(root, encoding="unicode")
+
+
+def main():
+    assets = tempfile.mkdtemp(prefix="kmanip_ref_assets_")
+    with open(os.path.join(assets, "_env_solo_arm.xml"), "w") as f:
+        f.write(build_env_xml())
+
+    sys.path.insert(0, "/root/reference")
+    import gym_kmanip as ref_k
+
+    ref_k.ASSETS_DIR = assets
+    import gymnasium as gym
+
+    env = gym.make("KManipSoloArm")
+    np.random.seed(SEED)  # the reference cube spawn uses np.random directly
+    obs, info = env.reset(seed=SEED)
+    cube_spawn = env.unwrapped.env._physics.data.qpos[-7:-4].copy()
+
+    rng = np.random.RandomState(SEED)
+    actions, qpos_obs, qvel_obs, cube_obs, rewards = [], [], [], [], []
+    for t in range(N_STEPS):
+        act = {
+            "eer_pos": rng.uniform(-1, 1, 3).astype(np.float32),
+            "eer_orn": np.zeros(3, dtype=np.float32),
+            "grip_r": np.zeros(1, dtype=np.float32),
+        }
+        obs, reward, term, trunc, info = env.step(act)
+        actions.append(np.concatenate([act["eer_pos"], act["eer_orn"], act["grip_r"]]))
+        qpos_obs.append(obs["q_pos"])
+        qvel_obs.append(obs["q_vel"])
+        cube_obs.append(obs["cube_pos"])
+        rewards.append(reward)
+    env.close()
+
+    np.savez(
+        os.path.join(OUT, "solo_arm_env_trace.npz"),
+        cube_spawn=cube_spawn,
+        actions=np.stack(actions),
+        q_pos=np.stack(qpos_obs),
+        q_vel=np.stack(qvel_obs),
+        cube_pos=np.stack(cube_obs),
+        reward=np.asarray(rewards),
+    )
+    print(f"wrote solo_arm_env_trace.npz: {N_STEPS} steps, cube at {cube_spawn}")
+    print("final q_pos obs:", qpos_obs[-1].round(4))
+
+
+if __name__ == "__main__":
+    main()
