@@ -1,17 +1,19 @@
 """End-to-end env parity vs the ACTUAL reference implementation.
 
-tools/make_golden_env.py executes the reference gym-kmanip env (dm_control +
-real MuJoCo + scipy IK) against mesh-free assets with matched inertials and
-records a 20-step KManipSoloArm trace. This test replays the identical
-action sequence through OUR jitted task core from the same cube spawn and
-compares the full pipeline -- EE-delta action decode, IK, 10x2ms physics,
-obs normalization, reward shaping.
+tools/make_golden_env.py executes the reference gym-kmanip envs (dm_control
++ real MuJoCo + scipy IK) against mesh-free assets with matched inertials
+and records 20-step traces for all three morphologies. These tests replay
+the identical action sequences through OUR jitted task cores from the same
+cube spawns and compare the full pipeline -- EE-delta action decode
+(right AND left arms), IK, 10x2ms physics, obs normalization, reward.
 
 Tolerances: the two IK solvers find slightly different minima of the same
-residual each step (scipy adaptive TRF vs fixed-budget LM) and the arm
-integrates those differences forward, so q_pos obs (range-normalized) get
-a few-percent band; the cube is untouched by the scripted sequence so its
-obs should match tightly.
+residual each step (scipy adaptive TRF vs fixed-budget LM) and the arms
+integrate those differences forward, so q_pos obs (range-normalized) get a
+few-percent band; the cube is untouched by the scripted sequences, so its
+SETTLED position must match tightly (the initial 2.6 cm drop onto the
+table rings differently under MuJoCo's solref/solimp vs our penalty
+contacts -- that transient gets a wide band).
 """
 
 import os
@@ -19,18 +21,35 @@ import os
 import numpy as np
 import pytest
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "solo_arm_env_trace.npz")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+CASES = [
+    # (trace, env_id, arms, arm-joint q_pos band). The strict band applies
+    # to the IK-CONTROLLED arm joints (cfg.q_id_r/l_mask); the gripper
+    # sliders sit parked AT their upper joint limit in every home pose, and
+    # limit semantics differ by design (MuJoCo soft constraint vs engine
+    # penalty+clamp, see tests/test_dynamics_parity.py), so arm shaking
+    # makes them flop differently -- they get a wide band. Redundant-arm
+    # null-space drift across solvers gives dual/torso slightly wider
+    # arm bands than solo.
+    ("solo_arm_env_trace.npz", "KManipSoloArm", ("eer",), 0.05),
+    ("dual_arm_env_trace.npz", "KManipDualArm", ("eer", "eel"), 0.15),
+    ("torso_env_trace.npz", "KManipTorso", ("eer", "eel"), 0.15),
+]
 
 
-@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden env trace missing")
-def test_env_trace_matches_reference():
+@pytest.mark.parametrize("trace,env_id,arms,band", CASES)
+def test_env_trace_matches_reference(trace, env_id, arms, band):
+    path = os.path.join(GOLDEN_DIR, trace)
+    if not os.path.exists(path):
+        pytest.skip(f"{trace} missing")
     import jax.numpy as jnp
 
     from gym_kmanip_tpu.env.config import CONFIGS
     from gym_kmanip_tpu.env.task import make_task
 
-    data = np.load(GOLDEN)
-    reset_fn, step_fn, model = make_task(CONFIGS["KManipSoloArm"])
+    data = np.load(path)
+    reset_fn, step_fn, model = make_task(CONFIGS[env_id])
     out = reset_fn(jnp.asarray(data["cube_spawn"], dtype=jnp.float32))
     state = out.state
 
@@ -38,11 +57,11 @@ def test_env_trace_matches_reference():
     q_pos_dev, cube_dev, reward_dev = [], [], []
     for t in range(n):
         a = data["actions"][t]
-        action = {
-            "eer_pos": jnp.asarray(a[:3], dtype=jnp.float32),
-            "eer_orn": jnp.asarray(a[3:6], dtype=jnp.float32),
-            "grip_r": jnp.asarray(a[6:7], dtype=jnp.float32),
-        }
+        action = {}
+        for i, side in enumerate(arms):
+            action[f"{side}_pos"] = jnp.asarray(a[3 * i : 3 * i + 3], dtype=jnp.float32)
+            action[f"{side}_orn"] = jnp.zeros(3, dtype=jnp.float32)
+            action[f"grip_{side[-1]}"] = jnp.zeros(1, dtype=jnp.float32)
         out = step_fn(state, action)
         state = out.state
         q_pos_dev.append(np.abs(np.asarray(out.obs["q_pos"]) - data["q_pos"][t]))
@@ -51,16 +70,22 @@ def test_env_trace_matches_reference():
 
     q_pos_dev = np.stack(q_pos_dev)
     cube_dev = np.stack(cube_dev)
-    print(f"max q_pos obs dev: {q_pos_dev.max():.4f} (range-normalized)")
-    print(f"max cube obs dev:  {cube_dev.max():.4f}")
-    print(f"max reward dev:    {max(reward_dev):.4f}")
 
-    # arm joints: a few percent of joint range over 20 accumulated steps
-    assert q_pos_dev[:, :7].max() < 0.05
-    # cube: the spawn drops ~2.6 cm onto the table and the two soft-contact
-    # models (MuJoCo solref/solimp vs penalty) ring differently during the
-    # settling transient; what must agree is the steady state
+    cfg = CONFIGS[env_id]
+    arm_idx = list(cfg.q_id_r_mask) + (
+        list(cfg.q_id_l_mask) if cfg.q_id_l_mask is not None else []
+    )
+    arm_dev = q_pos_dev[:, arm_idx]
+    print(f"{env_id}: arm q_pos dev {arm_dev.max():.4f} "
+          f"(all joints {q_pos_dev.max():.4f}), "
+          f"settled cube dev {cube_dev[-1].max():.5f}, "
+          f"max reward dev {max(reward_dev):.4f}")
+
+    # IK-controlled arm joints: strict morphology band (see CASES)
+    assert arm_dev.max() < band
+    # everything incl. limit-parked sliders: sanity band only
+    assert q_pos_dev.max() < 0.6
     assert cube_dev[-1].max() < 0.01, "settled cube position diverged"
-    assert cube_dev.max() < 0.2  # transient band
-    # reward (vel penalty + inverse-distance shaping): same ballpark
-    assert max(reward_dev) < 0.25
+    assert cube_dev.max() < 0.2  # settling-transient band
+    # EE-level behavior (reward is the EE-cube distance proxy) stays matched
+    assert max(reward_dev) < 0.15

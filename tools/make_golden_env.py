@@ -32,13 +32,19 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 N_STEPS = 20
 SEED = 11
 
+ENVS = {
+    "KManipSoloArm": ("solo_arm", "_env_solo_arm.xml", ("eer",)),
+    "KManipDualArm": ("dual_arm", "_env_dual_arm.xml", ("eer", "eel")),
+    "KManipTorso": ("torso", "_env_torso.xml", ("eer", "eel")),
+}
 
-def build_env_xml() -> str:
+
+def build_env_xml(builtin: str, xml_name: str) -> str:
     from gym_kmanip_tpu import constants as k
     from gym_kmanip_tpu.models import get_model
 
-    model = get_model("solo_arm")
-    root = ET.fromstring(build_xml("_env_solo_arm.xml"))
+    model = get_model(builtin)
+    root = ET.fromstring(build_xml(xml_name))
 
     name2id = {n: i for i, n in enumerate(model.joint_names)}
 
@@ -79,8 +85,12 @@ def build_env_xml() -> str:
 
 def main():
     assets = tempfile.mkdtemp(prefix="kmanip_ref_assets_")
-    with open(os.path.join(assets, "_env_solo_arm.xml"), "w") as f:
-        f.write(build_env_xml())
+    # build ALL xmls first: build_env_xml imports gym_kmanip_tpu, which
+    # registers OUR env ids -- the reference import below must come after so
+    # its registrations win and gym.make returns the reference implementation
+    for env_id, (builtin, xml_name, arms) in ENVS.items():
+        with open(os.path.join(assets, xml_name), "w") as f:
+            f.write(build_env_xml(builtin, xml_name))
 
     sys.path.insert(0, "/root/reference")
     import gym_kmanip as ref_k
@@ -88,38 +98,44 @@ def main():
     ref_k.ASSETS_DIR = assets
     import gymnasium as gym
 
-    env = gym.make("KManipSoloArm")
-    np.random.seed(SEED)  # the reference cube spawn uses np.random directly
-    obs, info = env.reset(seed=SEED)
-    cube_spawn = env.unwrapped.env._physics.data.qpos[-7:-4].copy()
+    for env_id, (builtin, xml_name, arms) in ENVS.items():
+        try:
+            env = gym.make(env_id)
+            np.random.seed(SEED)  # the reference cube spawn uses np.random
+            obs, info = env.reset(seed=SEED)
+        except Exception as e:
+            print(f"{env_id}: SKIPPED ({type(e).__name__}: {str(e)[:120]})")
+            continue
+        cube_spawn = env.unwrapped.env._physics.data.qpos[-7:-4].copy()
 
-    rng = np.random.RandomState(SEED)
-    actions, qpos_obs, qvel_obs, cube_obs, rewards = [], [], [], [], []
-    for t in range(N_STEPS):
-        act = {
-            "eer_pos": rng.uniform(-1, 1, 3).astype(np.float32),
-            "eer_orn": np.zeros(3, dtype=np.float32),
-            "grip_r": np.zeros(1, dtype=np.float32),
-        }
-        obs, reward, term, trunc, info = env.step(act)
-        actions.append(np.concatenate([act["eer_pos"], act["eer_orn"], act["grip_r"]]))
-        qpos_obs.append(obs["q_pos"])
-        qvel_obs.append(obs["q_vel"])
-        cube_obs.append(obs["cube_pos"])
-        rewards.append(reward)
-    env.close()
+        rng = np.random.RandomState(SEED)
+        actions, qpos_obs, qvel_obs, cube_obs, rewards = [], [], [], [], []
+        for t in range(N_STEPS):
+            act = {}
+            for side in arms:
+                act[f"{side}_pos"] = rng.uniform(-1, 1, 3).astype(np.float32)
+                act[f"{side}_orn"] = np.zeros(3, dtype=np.float32)
+                act[f"grip_{side[-1]}"] = np.zeros(1, dtype=np.float32)
+            obs, reward, term, trunc, info = env.step(act)
+            actions.append(
+                np.concatenate([act[f"{s}_pos"] for s in arms])
+            )
+            qpos_obs.append(obs["q_pos"])
+            qvel_obs.append(obs["q_vel"])
+            cube_obs.append(obs["cube_pos"])
+            rewards.append(reward)
+        env.close()
 
-    np.savez(
-        os.path.join(OUT, "solo_arm_env_trace.npz"),
-        cube_spawn=cube_spawn,
-        actions=np.stack(actions),
-        q_pos=np.stack(qpos_obs),
-        q_vel=np.stack(qvel_obs),
-        cube_pos=np.stack(cube_obs),
-        reward=np.asarray(rewards),
-    )
-    print(f"wrote solo_arm_env_trace.npz: {N_STEPS} steps, cube at {cube_spawn}")
-    print("final q_pos obs:", qpos_obs[-1].round(4))
+        np.savez(
+            os.path.join(OUT, f"{builtin}_env_trace.npz"),
+            cube_spawn=cube_spawn,
+            actions=np.stack(actions),
+            q_pos=np.stack(qpos_obs),
+            q_vel=np.stack(qvel_obs),
+            cube_pos=np.stack(cube_obs),
+            reward=np.asarray(rewards),
+        )
+        print(f"wrote {builtin}_env_trace.npz: {N_STEPS} steps, cube {cube_spawn.round(3)}")
 
 
 if __name__ == "__main__":
