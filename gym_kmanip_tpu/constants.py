@@ -266,24 +266,49 @@ CUBE_FRICTION: Tuple[float, float, float] = (1.0, 0.005, 0.0001)
 CUBE_FRICTIONLOSS: float = 0.01
 CUBE_INIT_POS: NDArray = np.array([0.2, 0.5, 0.65])
 
-# Penalty-based contact parameters (TPU-native replacement for MuJoCo's
-# solref/solimp soft constraints, scene.xml:20). Tuned so a 0.05 kg cube
-# settles on the table with <0.1 mm penetration at dt=0.002 while keeping
-# dt*sqrt(k/m) and dt*c/m inside the semi-implicit-Euler stability region.
-# Per-contact-point values; with all 4 bottom corners of the cube active the
-# effective stiffness/damping is 4x, which must stay inside dt*sqrt(k/m) < 2
-# and dt*c/m < 2 for the 0.05 kg cube at dt = 0.002.
-CONTACT_STIFFNESS: float = 2500.0
-CONTACT_DAMPING: float = 8.0
+# Impedance-space contact parameters, derived from the reference cube's
+# solref="0.01 1" (scene.xml:20): MuJoCo's soft constraint drives the
+# penetration with reference acceleration  aref = -b*vel - kappa*pos  where
+# b = 2/timeconst and kappa = 1/(timeconst^2 * dampratio^2), i.e. a
+# CRITICALLY DAMPED return to zero penetration with tau = 10 ms, and the
+# constraint force f = m_eff * (aref - a0) also absorbs whatever
+# non-contact acceleration a0 (gravity, grasp squeeze) acts along the
+# normal — so the resting cube sits at ~0 penetration, not at mg/k, and an
+# impact produces no restitution bounce. Our contact model replicates that
+# directly (dynamics/contacts.py) instead of a raw spring-damper penalty:
+# a spring stiff enough for sub-mm rest penetration (k >= mg/0.1mm = 5 kN/m)
+# ejects an impact-penetrated cube at ~30 N, which MuJoCo never does.
+CONTACT_TIMECONST: float = 0.01  # s, scene.xml solref[0]
+CONTACT_KAPPA: float = 1.0 / CONTACT_TIMECONST**2  # 1e4 s^-2
+CONTACT_BETA: float = 2.0 / CONTACT_TIMECONST  # 200 s^-1
 CONTACT_FRICTION_MU: float = 1.0
 CONTACT_SLIP_VEL: float = 0.01  # m/s smoothing velocity for Coulomb friction
 
-# Engine regularization (the reference XMLs specify no joint damping; these
-# keep the undamped kp=1000 position servos well-behaved under explicit
-# integration and emulate MuJoCo's stiff joint-limit constraints)
-JOINT_DAMPING: float = 1.0  # N m s/rad on every robot joint
-LIMIT_STIFFNESS: float = 2000.0
-LIMIT_DAMPING: float = 5.0
+# Engine regularization (the reference XMLs specify no joint damping; this
+# keeps the undamped kp=1000 position servos well-behaved under explicit
+# integration)
+JOINT_DAMPING: float = 1.0  # engine regularization; the golden generator patches the same damping onto the reference model (tools/make_golden_env.py) so parity traces share it
+
+# Joint limits use MuJoCo's default limit-constraint impedance, solref
+# (0.02, 1): the violating joint's acceleration is driven to
+# aref = kappa*viol - beta*vel (critically damped, tau = 20 ms), NOT hard
+# clamped — several reference home poses park joints OUTSIDE their range
+# (torso left_arm x8_1 at -1.70 vs lo=-1.5708; gripper sliders at their
+# stops), and MuJoCo lets them travel back through the limit with
+# overshoot. A wide safety clamp at range +- LIMIT_SAFETY_MARGIN guards
+# coarse-dt MPC rollouts only; the 2 ms plant never reaches it.
+LIMIT_TIMECONST: float = 0.02
+LIMIT_KAPPA: float = 1.0 / LIMIT_TIMECONST**2  # 2500 s^-2
+LIMIT_BETA: float = 2.0 / LIMIT_TIMECONST  # 100 s^-1
+# default solimp dmax (the XMLs set no solimp for limits, so the violating
+# acceleration mixes a1 = (1-d)*a0 + d*aref with d = 0.95 at violations
+# beyond the 1 mm width)
+LIMIT_IMPEDANCE: float = 0.95
+LIMIT_SAFETY_MARGIN: float = 0.5
+# dual (force-space) Jacobi sweeps for limits + frictionloss in
+# dynamics/engine.constraint_qacc; each sweep is one O(n^2) resolve on the
+# substep's Cholesky factor
+CONSTRAINT_ITERS: int = 3
 
 # Cube velocity bounds: an energy cap that keeps coarse-dt (20 ms) MPC
 # rollouts finite when penalty contacts go stiff (dt*sqrt(k/m) >> 1 there).

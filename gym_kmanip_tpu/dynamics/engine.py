@@ -60,17 +60,57 @@ def _tip_state(
     return pos, vel, jac, jnp.asarray(rad, dtype=qvel.dtype)
 
 
-def _limit_torque(model: RobotModel, qpos, qvel) -> jax.Array:
-    """Soft joint-limit penalty (MuJoCo handles limits as constraints;
-    penalty + the hard clamp in _integrate matches the stiff-limit
-    behavior well enough for control purposes)."""
+def constraint_qacc(model: RobotModel, qpos, qvel, qacc0, Mdiag, solve, dt):
+    """Joint limits + dof frictionloss as a force-space dual iteration.
+
+    MuJoCo solves limits/friction as CONSTRAINT FORCES through the full
+    mass matrix: a limit force on one joint accelerates every coupled
+    joint through M^-1 (e.g. the torso home pose parks left x8_1 at -1.70
+    vs lo=-1.5708; its ~23 Nm return force swings the whole left arm —
+    a diagonal qacc clamp misses 40% of the neighbor acceleration).
+    This is MuJoCo's own dual PGS shape, Jacobi-style, J = identity rows:
+
+      limits  (solref 0.02,1): target aref = kappa*viol - beta*qvel,
+              force one-sided, impedance-weighted (solimp dmax = 0.95)
+      friction: target qvel = 0 at end of step (a = -v/dt), |f| <= fl
+                (dry friction that holds static joints exactly — the
+                reference gripper sliders, fl = 30, never see the ~14 N
+                a tanh viscous model injects at mm/s velocities)
+
+    Each sweep updates the force estimate diagonally (effective-mass scale
+    M_ii) and re-propagates through the factored solve (O(n^2) per sweep,
+    CONSTRAINT_ITERS sweeps, factorization reused). Converges to MuJoCo's
+    forces within a few % in 3 sweeps (the coupling spectral radius of
+    these models is ~0.2).
+
+    `solve(b)` must solve M x = b reusing the substep's factorization."""
     lo = jnp.asarray(model.jnt_range[:, 0], dtype=qpos.dtype)
     hi = jnp.asarray(model.jnt_range[:, 1], dtype=qpos.dtype)
-    over = jnp.maximum(qpos - hi, 0.0)
-    under = jnp.maximum(lo - qpos, 0.0)
-    return k.LIMIT_STIFFNESS * (under - over) - k.LIMIT_DAMPING * qvel * (
-        (over > 0) | (under > 0)
-    )
+    fl = jnp.asarray(model.jnt_frictionloss, dtype=qpos.dtype)
+    viol_lo = lo - qpos
+    viol_hi = qpos - hi
+    aref_lo = k.LIMIT_KAPPA * viol_lo - k.LIMIT_BETA * qvel
+    aref_hi = -k.LIMIT_KAPPA * viol_hi - k.LIMIT_BETA * qvel
+    d = k.LIMIT_IMPEDANCE
+
+    f_fric = jnp.zeros_like(qacc0)
+    f_lo = jnp.zeros_like(qacc0)
+    f_hi = jnp.zeros_like(qacc0)
+    qacc = qacc0
+    for _ in range(k.CONSTRAINT_ITERS):
+        f_fric = jnp.clip(f_fric + Mdiag * (-qvel / dt - qacc), -fl, fl)
+        f_lo = jnp.where(
+            viol_lo > 0,
+            jnp.maximum(f_lo + d * Mdiag * (aref_lo - qacc), 0.0),
+            0.0,
+        )
+        f_hi = jnp.where(
+            viol_hi > 0,
+            jnp.minimum(f_hi + d * Mdiag * (aref_hi - qacc), 0.0),
+            0.0,
+        )
+        qacc = qacc0 + solve(f_fric + f_lo + f_hi)
+    return qacc
 
 
 def substep(
@@ -226,11 +266,12 @@ def _substep_jnp(
     tau_act = jnp.clip(kp * (state.ctrl - q[: model.nu]), frange[:, 0], frange[:, 1])
     tau_act = jnp.zeros_like(q).at[: model.nu].set(tau_act)
 
-    fl = jnp.asarray(model.jnt_frictionloss, dtype=q.dtype)
-    tau_fric = -fl * jnp.tanh(v / 0.01) - k.JOINT_DAMPING * v
+    # frictionloss is applied post-solve as a dry-friction projection (see
+    # below); only the engine-regularization damping enters tau here
+    tau_fric = -k.JOINT_DAMPING * v
     tau_contact = jnp.einsum("taj,ta->j", tip_jac, con.tip_forces)
 
-    tau = tau_act + tau_fric + tau_contact + _limit_torque(model, q, v) - tau_bias
+    tau = tau_act + tau_fric + tau_contact - tau_bias
     M = kin.mass_matrix_from_frames(model, xpos, xquat, axis_w)
     # implicit joint damping a la MuJoCo's Euler integrator (eulerdamp):
     # solve (M + h diag(B)) qacc = tau with the damping force kept in tau
@@ -240,16 +281,20 @@ def _substep_jnp(
         tau = tau - dt * kp_full * v
         M = M + dt * dt * jnp.diag(kp_full)
     if unrolled_solve:
-        qacc = linalg.batch_aware_cholesky_solve(M, tau)
+        Lrows = linalg.cholesky_factor_unrolled(M)
+        solve = partial(linalg.cholesky_substitute, Lrows)
     else:
         L = jnp.linalg.cholesky(M)
-        qacc = jax.scipy.linalg.cho_solve((L, True), tau)
+        solve = partial(jax.scipy.linalg.cho_solve, (L, True))
+    qacc = solve(tau)
+    qacc = constraint_qacc(model, q, v, qacc, jnp.diagonal(M), solve, dt)
 
     v_new = v + dt * qacc
     q_new = q + dt * v_new
-    # hard clamp at joint limits, zeroing outward velocity
-    lo = jnp.asarray(model.jnt_range[:, 0], dtype=q.dtype)
-    hi = jnp.asarray(model.jnt_range[:, 1], dtype=q.dtype)
+    # wide safety clamp only (coarse-dt MPC rollouts); the soft limit above
+    # is the physical model and the 2 ms plant never reaches this margin
+    lo = jnp.asarray(model.jnt_range[:, 0], dtype=q.dtype) - k.LIMIT_SAFETY_MARGIN
+    hi = jnp.asarray(model.jnt_range[:, 1], dtype=q.dtype) + k.LIMIT_SAFETY_MARGIN
     q_clamped = jnp.clip(q_new, lo, hi)
     v_new = jnp.where(
         ((q_new > hi) & (v_new > 0)) | ((q_new < lo) & (v_new < 0)), 0.0, v_new
@@ -259,10 +304,12 @@ def _substep_jnp(
     g = jnp.asarray(k.GRAVITY, dtype=q.dtype)
     linvel = state.cube_linvel + dt * (con.force_cube * _CUBE_INV_MASS + g)
     angvel = state.cube_angvel + dt * (con.torque_cube * _CUBE_INV_INERTIA)
-    # cube_joint frictionloss 0.01 (scene.xml:15): smooth Coulomb on both
-    # velocity components, divided by mass/inertia
-    linvel = linvel - dt * k.CUBE_FRICTIONLOSS * jnp.tanh(linvel / 0.01) * _CUBE_INV_MASS
-    angvel = angvel - dt * k.CUBE_FRICTIONLOSS * jnp.tanh(angvel / 0.01) * _CUBE_INV_INERTIA
+    # cube_joint frictionloss 0.01 (scene.xml:15): dry friction, same
+    # bounded velocity-zeroing projection as the robot joints
+    cap_l = dt * k.CUBE_FRICTIONLOSS * _CUBE_INV_MASS
+    cap_a = dt * k.CUBE_FRICTIONLOSS * _CUBE_INV_INERTIA
+    linvel = linvel + jnp.clip(-linvel, -cap_l, cap_l)
+    angvel = angvel + jnp.clip(-angvel, -cap_a, cap_a)
     # energy cap (see constants.CUBE_MAX_LINVEL)
     linvel = jnp.clip(linvel, -k.CUBE_MAX_LINVEL, k.CUBE_MAX_LINVEL)
     angvel = jnp.clip(angvel, -k.CUBE_MAX_ANGVEL, k.CUBE_MAX_ANGVEL)
@@ -287,13 +334,25 @@ def _substep_jnp(
 
 
 def control_step(
-    model: RobotModel, state: SimState, ctrl: jax.Array
+    model: RobotModel,
+    state: SimState,
+    ctrl: jax.Array,
+    qpos_force: jax.Array | None = None,
 ) -> Tuple[SimState, StepAux]:
     """One 20 ms control step = N_SUBSTEPS scanned physics substeps.
 
     `ctrl` is the already-decoded actuator target vector (the env layer does
     action decoding + the exponential ctrl filter, mirroring
     KManipTask.before_step, env_sim.py:38-108).
+
+    `qpos_force` (env parity): dm_control's split-step scheme runs
+    `mj_step2` first, so the FIRST substep's forces (actuator lengths, bias,
+    mass matrix, contacts) come from the mj_step1 kinematics of the state
+    BEFORE the task's before_step scribbled IK iterates into qpos — while
+    integration proceeds from the scribbled qpos. Passing the pre-decode
+    qpos here reproduces that: substep 1 computes qacc at `qpos_force` and
+    rebases the position update onto `state.qpos`; substeps 2..N are
+    coherent, exactly like dm_control's subsequent mj_step2+mj_step1 pairs.
     """
     state = state._replace(ctrl=jnp.asarray(ctrl, dtype=state.qpos.dtype))
 
@@ -301,7 +360,24 @@ def control_step(
         s2, (touch, _xp, _xq) = substep(model, s, k.PHYSICS_TIMESTEP)
         return s2, touch
 
-    state, touches = jax.lax.scan(body, state, None, length=k.N_SUBSTEPS)
+    n_scan = k.N_SUBSTEPS
+    touch_first = None
+    if qpos_force is not None:
+        q_tele = state.qpos
+        s1, (touch_first, _xp, _xq) = substep(
+            model,
+            state._replace(qpos=jnp.asarray(qpos_force, dtype=state.qpos.dtype)),
+            k.PHYSICS_TIMESTEP,
+        )
+        lo = jnp.asarray(model.jnt_range[:, 0], dtype=q_tele.dtype) - k.LIMIT_SAFETY_MARGIN
+        hi = jnp.asarray(model.jnt_range[:, 1], dtype=q_tele.dtype) + k.LIMIT_SAFETY_MARGIN
+        q_rebased = jnp.clip(q_tele + k.PHYSICS_TIMESTEP * s1.qvel, lo, hi)
+        state = s1._replace(qpos=q_rebased)
+        n_scan = k.N_SUBSTEPS - 1
+
+    state, touches = jax.lax.scan(body, state, None, length=n_scan)
+    if touch_first is not None:
+        touches = jnp.concatenate([touch_first[None], touches], axis=0)
 
     # diagnostics at the final state (the reference reads contacts/xpos after
     # the substep loop, env_sim.py:163-178)

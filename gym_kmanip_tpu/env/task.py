@@ -26,7 +26,7 @@ from gym_kmanip_tpu.dynamics.state import SimState
 from gym_kmanip_tpu.models import get_model
 from gym_kmanip_tpu.models.spec import RobotModel
 from gym_kmanip_tpu.ops import kinematics as kin
-from gym_kmanip_tpu.solvers.ik import ik
+from gym_kmanip_tpu.solvers.ik import ik_trf
 from gym_kmanip_tpu.utils import rotations as rot
 
 # Fix-and-document (SURVEY.md §2.2): the reference's touch/lift reward scans
@@ -53,9 +53,20 @@ def _site_euler(model, qpos, site_name):
 
 def _decode_action(
     model: RobotModel, cfg, state: SimState, action: Dict[str, jax.Array]
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """before_step (env_sim.py:38-108): action dict -> ctrl vector + mocap."""
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """before_step (env_sim.py:38-108): action dict -> ctrl vector + mocap
+    + the post-IK qpos.
+
+    The returned qpos is behavior-defining reference parity: ik_res/ik_jac
+    scribble every candidate q into the live physics.data.qpos and never
+    restore it (ik_mujoco.py:33-34), so the reference's physics integrates
+    from the last IK evaluation — the masked arm joints are effectively
+    TELEPORTED to the IK solution each control step and the kp=1000 servos
+    only mop up the residual. Callers must integrate from this qpos (with
+    the pre-step qvel, which the reference leaves untouched).
+    """
     qpos = state.qpos
+    qpos_out = qpos
     ctrl = state.ctrl
     mocap_pos = jnp.asarray(model.mocap_pos0, dtype=qpos.dtype)
     mocap_quat = jnp.asarray(model.mocap_quat0, dtype=qpos.dtype)
@@ -84,11 +95,14 @@ def _decode_action(
         mocap_pos = mocap_pos.at[k.MOCAP_ID_R].set(goal_pos)
         mocap_quat = mocap_quat.at[k.MOCAP_ID_R].set(goal_orn)
         mask = tuple(int(i) for i in cfg.q_id_r_mask)
-        q_sol = ik(
+        # scipy-TRF-parity solver: matches the reference's least_squares
+        # trajectory (incl. early exits) to <1e-3 rad over 20 steps in f32
+        q_sol, q_scrib = ik_trf(
             model, qpos, goal_pos, goal_orn, q_home, qpos,
             q_mask=mask, site_name="eer_site",
         )
         ctrl = ctrl.at[jnp.asarray(mask)].set(q_sol)
+        qpos_out = qpos_out.at[jnp.asarray(mask)].set(q_scrib)
     if "eel_pos" in cfg.act_list:
         p, q, eul = _site_euler(model, qpos, "eel_site")
         goal_pos = action["eel_pos"] * jnp.asarray(k.EE_POS_DELTA, dtype=qpos.dtype) + p
@@ -98,11 +112,12 @@ def _decode_action(
         mocap_pos = mocap_pos.at[k.MOCAP_ID_L].set(goal_pos)
         mocap_quat = mocap_quat.at[k.MOCAP_ID_L].set(goal_orn)
         mask = tuple(int(i) for i in cfg.q_id_l_mask)
-        q_sol = ik(
+        q_sol, q_scrib = ik_trf(
             model, qpos, goal_pos, goal_orn, q_home, qpos,
             q_mask=mask, site_name="eel_site",
         )
         ctrl = ctrl.at[jnp.asarray(mask)].set(q_sol)
+        qpos_out = qpos_out.at[jnp.asarray(mask)].set(q_scrib)
 
     if "q_pos_r" in cfg.act_list:
         mask = jnp.asarray(tuple(int(i) for i in cfg.q_id_r_mask))
@@ -113,7 +128,7 @@ def _decode_action(
 
     # exponential ctrl filter (env_sim.py:106; CTRL_ALPHA=1 -> passthrough)
     ctrl = k.CTRL_ALPHA * ctrl + (1 - k.CTRL_ALPHA) * state.ctrl
-    return ctrl, mocap_pos, mocap_quat
+    return ctrl, qpos_out, mocap_pos, mocap_quat
 
 
 def _observe(model: RobotModel, cfg, state: SimState) -> Dict[str, jax.Array]:
@@ -199,8 +214,12 @@ def make_task(cfg):
         )
 
     def step_fn(state: SimState, action: Dict[str, jax.Array]) -> TaskOut:
-        ctrl, mocap_pos, mocap_quat = _decode_action(model, cfg, state, action)
-        state, aux = control_step(model, state, ctrl)
+        ctrl, qpos_ik, mocap_pos, mocap_quat = _decode_action(
+            model, cfg, state, action
+        )
+        qpos_pre = state.qpos
+        state = state._replace(qpos=qpos_ik)
+        state, aux = control_step(model, state, ctrl, qpos_force=qpos_pre)
         obs = _observe(model, cfg, state)
         reward = _reward(model, cfg, state, aux)
         return TaskOut(state, obs, reward, mocap_pos, mocap_quat)

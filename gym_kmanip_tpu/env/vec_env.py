@@ -55,8 +55,12 @@ class KManipVecEnv:
             return init_state(model, cube_pos=cube)
 
         def step_one(state: SimState, action: Dict[str, jax.Array], steps, key):
-            ctrl, mocap_pos, mocap_quat = _decode_action(model, cfg, state, action)
-            state, aux = control_step(model, state, ctrl)
+            ctrl, qpos_ik, mocap_pos, mocap_quat = _decode_action(
+                model, cfg, state, action
+            )
+            qpos_pre = state.qpos
+            state = state._replace(qpos=qpos_ik)
+            state, aux = control_step(model, state, ctrl, qpos_force=qpos_pre)
             reward = _reward(model, cfg, state, aux)
             steps = steps + 1
             truncated = steps >= cfg.max_episode_steps

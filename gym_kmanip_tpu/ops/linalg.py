@@ -51,13 +51,14 @@ def make_batch_aware_solve(use_pallas: bool = True):
 batch_aware_cholesky_solve = make_batch_aware_solve()
 
 
-def cholesky_solve_unrolled(M: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve M x = b for SPD M (n,n), b (n,). Unrolled Cholesky-Crout.
+def cholesky_factor_unrolled(M: jax.Array):
+    """Trace-time-unrolled Cholesky of SPD M (..., n, n).
 
-    Broadcasts over leading batch dims of both args.
-    """
+    Returns L as a list-of-rows of scalar (batched) entries, reusable by
+    multiple `cholesky_substitute` calls (the dynamics engine factors once
+    per substep and back-substitutes tau + the constraint-force
+    iterations)."""
     n = M.shape[-1]
-    # factorization: L lower-triangular, stored as list of rows of entries
     L = [[None] * n for _ in range(n)]
     for j in range(n):
         s = M[..., j, j]
@@ -70,16 +71,19 @@ def cholesky_solve_unrolled(M: jax.Array, b: jax.Array) -> jax.Array:
             for kk in range(j):
                 s = s - L[i][kk] * L[j][kk]
             L[i][j] = s * inv_d
+    return L
 
-    # forward substitution L y = b
+
+def cholesky_substitute(L, b: jax.Array) -> jax.Array:
+    """Solve L L^T x = b given an unrolled factor from
+    cholesky_factor_unrolled. b (..., n)."""
+    n = len(L)
     y = [None] * n
     for i in range(n):
         s = b[..., i]
         for kk in range(i):
             s = s - L[i][kk] * y[kk]
         y[i] = s / L[i][i]
-
-    # backward substitution L^T x = y
     x = [None] * n
     for i in range(n - 1, -1, -1):
         s = y[i]
@@ -87,3 +91,11 @@ def cholesky_solve_unrolled(M: jax.Array, b: jax.Array) -> jax.Array:
             s = s - L[kk][i] * x[kk]
         x[i] = s / L[i][i]
     return jnp.stack(x, axis=-1)
+
+
+def cholesky_solve_unrolled(M: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve M x = b for SPD M (n,n), b (n,). Unrolled Cholesky-Crout.
+
+    Broadcasts over leading batch dims of both args.
+    """
+    return cholesky_substitute(cholesky_factor_unrolled(M), b)

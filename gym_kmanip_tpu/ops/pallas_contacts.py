@@ -29,9 +29,10 @@ _CORNER_SIGNS = [
 ]
 
 
-def _normal_force(pen, vn):
-    raw = k.CONTACT_STIFFNESS * pen - k.CONTACT_DAMPING * vn
-    return jnp.where(pen > 0, jnp.maximum(raw, 0.0), 0.0)
+def _normal_force(pen, vn, a0, m_eff):
+    # MuJoCo-impedance form (see dynamics/contacts._normal_force)
+    aref = k.CONTACT_KAPPA * pen - k.CONTACT_BETA * vn
+    return jnp.where(pen > 0, m_eff * jnp.maximum(aref - a0, 0.0), 0.0)
 
 
 def _friction(fn, vt):
@@ -88,24 +89,10 @@ def _contact_rows(model: RobotModel, tip_pos_rows, tip_vel_rows, cube):
 
     zero = jnp.zeros_like(cube_pos[0])
 
+    # fingertip-cube pairs FIRST: their force on the cube feeds the table
+    # contact's a0 (same Gauss-Seidel ordering as dynamics/contacts.py)
     force = (zero, zero, zero)
     torque = (zero, zero, zero)
-    touching = zero > 1.0
-    for sx, sy, sz in _CORNER_SIGNS:
-        local = (zero + sx * h, zero + sy * h, zero + sz * h)
-        arm = Rmul(local)
-        cw = _add(cube_pos, arm)
-        vc = _add(cube_lv, _cross(cube_av, arm))
-        over = _over_table(cw[0], cw[1])
-        plane_z = jnp.where(over, k.TABLE_TOP_Z, 0.0)
-        pen = plane_z - cw[2]
-        fn = _normal_force(pen, vc[2])
-        ft = _friction(fn, (vc[0], vc[1], zero))
-        f = (ft[0], ft[1], ft[2] + fn)
-        force = _add(force, f)
-        torque = _add(torque, _cross(arm, f))
-        touching = touching | ((pen > 0) & over)
-
     tip_forces = []
     touch = []
     for t in range(T):
@@ -141,22 +128,55 @@ def _contact_rows(model: RobotModel, tip_pos_rows, tip_vel_rows, cube):
         v_cpt = _add(cube_lv, _cross(cube_av, arm))
         v_rel = _sub(v, v_cpt)
         vn = _dot(v_rel, n)
-        fn = _normal_force(pen, vn)
+        a0 = -(k.GRAVITY[0] * n[0] + k.GRAVITY[1] * n[1] + k.GRAVITY[2] * n[2])
+        fn = _normal_force(pen, vn, a0, k.CUBE_MASS)
         vt = _sub(v_rel, _scale(n, vn))
         fr = _friction(fn, vt)
         f_tip = _add(_scale(n, fn), fr)
-
-        plane_z = jnp.where(_over_table(p[0], p[1]), k.TABLE_TOP_Z, 0.0)
-        pen_t = plane_z - (p[2] - r)
-        fn_t = _normal_force(pen_t, v[2])
-        fr_t = _friction(fn_t, (v[0], v[1], zero))
-        f_tip = _add(f_tip, (fr_t[0], fr_t[1], fr_t[2] + fn_t))
+        # no tip-table force (matches dynamics/contacts.py: the reference has
+        # no finger collision geoms, so grippers pass through the tabletop)
 
         f_on_cube = _sub(_scale(_scale(n, fn), -1.0), fr)
         force = _add(force, f_on_cube)
         torque = _add(torque, _cross(arm, f_on_cube))
         tip_forces.append(f_tip)
         touch.append(pen > 0)
+
+    # cube-corner vs table plane, impedance form with a0 from gravity + the
+    # accumulated fingertip force/torque (dynamics/contacts.cube_table)
+    ext_f = (
+        force[0] + k.CUBE_MASS * k.GRAVITY[0],
+        force[1] + k.CUBE_MASS * k.GRAVITY[1],
+        force[2] + k.CUBE_MASS * k.GRAVITY[2],
+    )
+    acc_com = _scale(ext_f, 1.0 / k.CUBE_MASS)
+    alpha = _scale(torque, 1.0 / k.CUBE_DIAG_INERTIA)
+    touching = zero > 1.0
+    pens, vcs, arms, a0s, overs = [], [], [], [], []
+    n_act = zero
+    for sx, sy, sz in _CORNER_SIGNS:
+        local = (zero + sx * h, zero + sy * h, zero + sz * h)
+        arm = Rmul(local)
+        cw = _add(cube_pos, arm)
+        vc = _add(cube_lv, _cross(cube_av, arm))
+        over = _over_table(cw[0], cw[1])
+        plane_z = jnp.where(over, k.TABLE_TOP_Z, 0.0)
+        pen = plane_z - cw[2]
+        a_corner = _add(acc_com, _add(_cross(alpha, arm), _cross(cube_av, _cross(cube_av, arm))))
+        pens.append(pen)
+        vcs.append(vc)
+        arms.append(arm)
+        a0s.append(a_corner[2])
+        overs.append(over)
+        n_act = n_act + jnp.where(pen > 0, 1.0, 0.0)
+        touching = touching | ((pen > 0) & over)
+    m_eff = k.CUBE_MASS / jnp.maximum(n_act, 1.0)
+    for pen, vc, arm, a0c in zip(pens, vcs, arms, a0s):
+        fn = _normal_force(pen, vc[2], a0c, m_eff)
+        ft = _friction(fn, (vc[0], vc[1], zero))
+        f = (ft[0], ft[1], ft[2] + fn)
+        force = _add(force, f)
+        torque = _add(torque, _cross(arm, f))
     return force, torque, tip_forces, touch, touching
 
 

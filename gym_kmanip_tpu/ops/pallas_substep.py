@@ -40,9 +40,9 @@ _CUBE_INV_MASS = 1.0 / k.CUBE_MASS
 _CUBE_INV_INERTIA = 1.0 / k.CUBE_DIAG_INERTIA
 
 
-def _chol_rows(n, M, b):
-    """Unrolled Cholesky solve on row-matrices: M list-of-lists (lower half
-    used), b list of rows. Returns x list of rows."""
+def _chol_factor_rows(n, M):
+    """Unrolled Cholesky factor on row-matrices: M list-of-lists (lower
+    half used). Returns L rows, reusable for several substitutions."""
     L = [[None] * n for _ in range(n)]
     for j in range(n):
         s = M[j][j]
@@ -55,6 +55,11 @@ def _chol_rows(n, M, b):
             for kk in range(j):
                 s = s - L[i][kk] * L[j][kk]
             L[i][j] = s * inv_d
+    return L
+
+
+def _chol_substitute_rows(n, L, b):
+    """Solve L L^T x = b (rows) given a factor from _chol_factor_rows."""
     y = [None] * n
     for i in range(n):
         s = b[i]
@@ -67,6 +72,11 @@ def _chol_rows(n, M, b):
             s = s - L[kk][i] * y[kk]
         y[i] = s / L[i][i]
     return y
+
+
+def _chol_rows(n, M, b):
+    """Unrolled Cholesky solve on row-matrices (factor + substitute)."""
+    return _chol_substitute_rows(n, _chol_factor_rows(n, M), b)
 
 
 def _substep_kernel(
@@ -141,14 +151,8 @@ def _substep_kernel(
             if np.isfinite(frange[i, 0]):
                 raw = jnp.clip(raw, float(frange[i, 0]), float(frange[i, 1]))
             t_i = t_i + raw
-        if fl[i] != 0.0:
-            t_i = t_i - float(fl[i]) * jnp.tanh(v[i] / 0.01)
+        # frictionloss applied post-solve as dry friction (see integrate)
         t_i = t_i - k.JOINT_DAMPING * v[i]
-        # joint-limit penalty
-        over = jnp.maximum(q[i] - float(hi[i]), 0.0)
-        under = jnp.maximum(float(lo[i]) - q[i], 0.0)
-        t_i = t_i + k.LIMIT_STIFFNESS * (under - over)
-        t_i = t_i - k.LIMIT_DAMPING * v[i] * ((over > 0) | (under > 0))
         t_i = t_i - bias[i]
         if implicit_actuation and i < nu:
             t_i = t_i - dt * float(kp[i]) * v[i]
@@ -221,14 +225,52 @@ def _substep_kernel(
         M[i][i] = M[i][i] + extra
 
     # ---- solve + integrate robot ----
-    qacc = _chol_rows(nq, M, tau)
+    Mdiag = [M[i][i] for i in range(nq)]
+    Lrows = _chol_factor_rows(nq, M)
+    qacc0 = _chol_substitute_rows(nq, Lrows, tau)
+    # limits + frictionloss as force-space dual Jacobi sweeps (mirrors
+    # engine.constraint_qacc: the forces propagate through the full M^-1,
+    # factorization reused per sweep)
+    d_imp = k.LIMIT_IMPEDANCE
+    f_fric = [zero] * nq
+    f_lo = [zero] * nq
+    f_hi = [zero] * nq
+    qacc = qacc0
+    for _ in range(k.CONSTRAINT_ITERS):
+        f_tot = []
+        for i in range(nq):
+            if fl[i] != 0.0:
+                f_fric[i] = jnp.clip(
+                    f_fric[i] + Mdiag[i] * (-v[i] / dt - qacc[i]),
+                    -float(fl[i]),
+                    float(fl[i]),
+                )
+            viol_lo = float(lo[i]) - q[i]
+            viol_hi = q[i] - float(hi[i])
+            aref_lo = k.LIMIT_KAPPA * viol_lo - k.LIMIT_BETA * v[i]
+            aref_hi = -k.LIMIT_KAPPA * viol_hi - k.LIMIT_BETA * v[i]
+            f_lo[i] = jnp.where(
+                viol_lo > 0,
+                jnp.maximum(f_lo[i] + d_imp * Mdiag[i] * (aref_lo - qacc[i]), 0.0),
+                0.0,
+            )
+            f_hi[i] = jnp.where(
+                viol_hi > 0,
+                jnp.minimum(f_hi[i] + d_imp * Mdiag[i] * (aref_hi - qacc[i]), 0.0),
+                0.0,
+            )
+            f_tot.append(f_fric[i] + f_lo[i] + f_hi[i])
+        dq_acc = _chol_substitute_rows(nq, Lrows, f_tot)
+        qacc = [qacc0[i] + dq_acc[i] for i in range(nq)]
     for i in range(nq):
-        v_new = v[i] + dt * qacc[i]
+        a_i = qacc[i]
+        v_new = v[i] + dt * a_i
         q_new = q[i] + dt * v_new
-        q_cl = jnp.clip(q_new, float(lo[i]), float(hi[i]))
+        lo_s = float(lo[i]) - k.LIMIT_SAFETY_MARGIN
+        hi_s = float(hi[i]) + k.LIMIT_SAFETY_MARGIN
+        q_cl = jnp.clip(q_new, lo_s, hi_s)
         v_new = jnp.where(
-            ((q_new > float(hi[i])) & (v_new > 0))
-            | ((q_new < float(lo[i])) & (v_new < 0)),
+            ((q_new > hi_s) & (v_new > 0)) | ((q_new < lo_s) & (v_new < 0)),
             0.0,
             v_new,
         )
@@ -239,13 +281,11 @@ def _substep_kernel(
     lv = _add(cube["lv"], _scale(force_c, dt * _CUBE_INV_MASS))
     lv = (lv[0], lv[1], lv[2] + dt * k.GRAVITY[2])
     av = _add(cube["av"], _scale(torque_c, dt * _CUBE_INV_INERTIA))
-    lv = tuple(
-        c - dt * k.CUBE_FRICTIONLOSS * jnp.tanh(c / 0.01) * _CUBE_INV_MASS for c in lv
-    )
-    av = tuple(
-        c - dt * k.CUBE_FRICTIONLOSS * jnp.tanh(c / 0.01) * _CUBE_INV_INERTIA
-        for c in av
-    )
+    # dry frictionloss (mirrors engine: bounded velocity-zeroing projection)
+    cap_l = dt * k.CUBE_FRICTIONLOSS * _CUBE_INV_MASS
+    cap_a = dt * k.CUBE_FRICTIONLOSS * _CUBE_INV_INERTIA
+    lv = tuple(c + jnp.clip(-c, -cap_l, cap_l) for c in lv)
+    av = tuple(c + jnp.clip(-c, -cap_a, cap_a) for c in av)
     # energy cap (see constants.CUBE_MAX_LINVEL)
     lv = tuple(jnp.clip(c, -k.CUBE_MAX_LINVEL, k.CUBE_MAX_LINVEL) for c in lv)
     av = tuple(jnp.clip(c, -k.CUBE_MAX_ANGVEL, k.CUBE_MAX_ANGVEL) for c in av)

@@ -9,18 +9,25 @@ stack the reference builds (ik_mujoco.py:20-53):
              IK_RES_REG_PREV * (q - q_prev)            (n,)
              IK_RES_REG_HOME * (q - q_home)            (n,) ]
 
-so the least-squares minimum is the reference's. scipy's adaptive
-trust-region loop cannot be jitted; instead we run a fixed-budget
-Levenberg-Marquardt iteration with bound projection, which matches the
-reference's solutions to well below actuator resolution because env steps
-warm-start from the previous solution and move goals by <=1 cm
-(EE_POS_DELTA). Deviation, documented: the reference passes an analytic
-Jacobian whose regularization rows use IK_JAC_REG=9e-3 while the residual
-uses 6e-3/2e-6 (ik_mujoco.py:95-97) -- an inconsistency we do not copy; we
-use the exact Jacobian of the residual via jacfwd.
+so the least-squares minimum is the reference's. Two solvers share it:
 
-The solver never calls back to the host, vmaps over arbitrary batches of
-(qpos, goals), and is the inner kernel reused by the trajectory optimizers.
+- ``ik_trf`` (the env path): a full JAX port of scipy's TRF trust-region
+  algorithm (solvers/trf.py) driven by the reference's ANALYTIC Jacobian —
+  including its deliberate inconsistency (regularization rows at
+  IK_JAC_REG=9e-3 while the residual uses 6e-3/2e-6, ik_mujoco.py:95-97).
+  Replicating both the trust-region dynamics and the inconsistent Jacobian
+  is what pins down the same point on the redundant-arm solution manifold
+  the reference lands on; with the exact jacfwd Jacobian instead, scipy
+  itself drifts 4.7e-2 rad from the reference over 20 env steps (measured,
+  tools/exp_ik_parity.py), because the stationary point J_wrong^T r = 0
+  moves.
+- ``ik`` (the MPC inner loop): a fixed-budget Levenberg-Marquardt iteration
+  with bound projection and the exact jacfwd Jacobian — cheaper, fully
+  scan-based, accurate to well below actuator resolution for warm-started
+  receding-horizon use.
+
+Neither solver calls back to the host; both vmap over arbitrary batches of
+(qpos, goals).
 """
 
 from functools import partial
@@ -61,6 +68,125 @@ def _residual(
     res_prev = k.IK_RES_REG_PREV * (q_masked - q_prev)
     res_home = k.IK_RES_REG_HOME * (q_masked - q_home)
     return jnp.concatenate([res_pos, res_quat, res_prev, res_home])
+
+
+def _quat_from_tangent(e: jax.Array) -> jax.Array:
+    """MuJoCo local tangent convention: q' = q * exp([0, e/2])."""
+    angle = jnp.sqrt(jnp.sum(e * e) + 1e-24)
+    axis = e / angle
+    half = 0.5 * angle
+    return jnp.concatenate([jnp.cos(half)[None], jnp.sin(half) * axis])
+
+
+def _subquat_jac_b(qa: jax.Array, qb: jax.Array) -> jax.Array:
+    """Db = d subQuat(qa, qb*exp(e/2)) / de at e=0 (mjd_subQuat's Db output,
+    used by the reference at ik_mujoco.py:83-86)."""
+    f = lambda e: rot.quat_sub(qa, rot.quat_mul(qb, _quat_from_tangent(e)))
+    return jax.jacfwd(f)(jnp.zeros(3, dtype=qa.dtype))
+
+
+def reference_jacobian(
+    model: RobotModel,
+    q_masked: jax.Array,
+    qpos_full: jax.Array,
+    goal_orn: jax.Array,
+    q_mask: Tuple[int, ...],
+    site_name: str,
+) -> jax.Array:
+    """The reference's analytic IK Jacobian, quirks included (ik_jac,
+    ik_mujoco.py:56-97): position rows from the site Jacobian, quaternion
+    rows = IK_JAC_RAD * Db^T R^T jacr (Db transposed, R = the EE rotation the
+    reference names "target_mat"), and BOTH regularization blocks at
+    IK_JAC_REG * I — inconsistent with the residual's 6e-3/2e-6 weights.
+    This inconsistency shifts the solver's stationary point; we reproduce it
+    because the reference's joint trajectories are defined by it."""
+    mask = jnp.asarray(q_mask)
+    q_full = qpos_full.at[mask].set(q_masked)
+    xpos, xquat, axis_w = kin.fk(model, q_full)
+    s = model.site(site_name)
+    ee_pos, ee_quat = kin.site_pose(model, xpos, xquat, site_name)
+    jacp, jacr = kin.point_jacobian(model, xpos, axis_w, ee_pos, s.parent)
+    R = rot.quat_to_mat(ee_quat)
+    Db = _subquat_jac_b(goal_orn, ee_quat)
+    jac_quat = (k.IK_JAC_RAD * Db.T @ R.T) @ jacr
+    n = len(q_mask)
+    jac_reg = k.IK_JAC_REG * jnp.eye(n, dtype=q_masked.dtype)
+    return jnp.vstack([jacp[:, mask], jac_quat[:, mask], jac_reg, jac_reg])
+
+
+def ik_trf(
+    model: RobotModel,
+    qpos_full: jax.Array,
+    goal_pos: jax.Array,
+    goal_orn: jax.Array,
+    q_pos_home_full: jax.Array,
+    q_pos_prev_full: jax.Array,
+    *,
+    q_mask: Tuple[int, ...],
+    site_name: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """Reference-parity IK: scipy-TRF semantics (solvers/trf.py) with the
+    reference's analytic Jacobian and default tolerances, matching
+    least_squares(ik_res, q0, jac=ik_jac, bounds=jnt_range) at
+    ik_mujoco.py:129-135. Post-solve behavior mirrors ik(): the reference's
+    velocity clip is a no-op (clips the solution around itself,
+    ik_mujoco.py:139-145), the joint-range clip is kept, and NaN results fall
+    back to the warm start (the try/except-keep-previous path,
+    ik_mujoco.py:128-138).
+
+    Returns ``(q_sol, q_scribble)``. q_sol is the clipped solution the
+    reference writes into ctrl. q_scribble is the behavior-defining side
+    effect the reference leaves behind: ik_res/ik_jac write every candidate
+    q into the LIVE physics.data.qpos and never restore it
+    (ik_mujoco.py:33-34, 68-69), so after before_step the masked joints sit
+    at the last point scipy evaluated — the solution after a normal exit,
+    the REJECTED trial point after a trust-radius-collapse exit, and the
+    untouched warm start when scipy's bounds check raises before any
+    evaluation. The env step must assign qpos[mask] = q_scribble before
+    integrating to match the reference's dynamics (it effectively teleports
+    the arm each control step; the kp=1000 servos then only mop up the
+    residual)."""
+    from gym_kmanip_tpu.solvers.trf import least_squares_trf
+
+    mask = jnp.asarray(q_mask)
+    lo = jnp.asarray(model.jnt_range[list(q_mask), 0], dtype=qpos_full.dtype)
+    hi = jnp.asarray(model.jnt_range[list(q_mask), 1], dtype=qpos_full.dtype)
+    q0 = qpos_full[mask]
+
+    res_fn = partial(
+        _residual,
+        model,
+        qpos_full=qpos_full,
+        goal_pos=goal_pos,
+        goal_orn=goal_orn,
+        q_home=q_pos_home_full[mask],
+        q_prev=q_pos_prev_full[mask],
+        q_mask=q_mask,
+        site_name=site_name,
+    )
+    jac_fn = partial(
+        reference_jacobian,
+        model,
+        qpos_full=qpos_full,
+        goal_orn=goal_orn,
+        q_mask=q_mask,
+        site_name=site_name,
+    )
+
+    out = least_squares_trf(res_fn, jac_fn, q0, lo, hi)
+    nan = jnp.isnan(out.x).any()
+    q = jnp.where(nan, q0, out.x)
+    scribble = jnp.where(nan | jnp.isnan(out.x_last_eval).any(), q0, out.x_last_eval)
+    # scipy raises ValueError when the warm start is outside the bounds
+    # (joints can physically exceed their soft limits); the reference
+    # catches it and keeps the CURRENT qpos ("IK failed: Initial guess is
+    # outside of provided bounds", ik_mujoco.py:137-138), which the final
+    # clip then projects into range — and since the raise happens before any
+    # residual evaluation, data.qpos is never scribbled either.
+    out_of_bounds = jnp.any((q0 < lo) | (q0 > hi))
+    q = jnp.where(out_of_bounds, q0, q)
+    scribble = jnp.where(out_of_bounds, q0, scribble)
+    return jnp.clip(q, lo, hi), scribble
 
 
 def ik(

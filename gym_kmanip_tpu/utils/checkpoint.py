@@ -4,8 +4,7 @@ The reference has no checkpointing (its durability is the per-step h5py
 flush, log_h5py.py:61; SURVEY.md §5). Long MPC runs need to resume nominal
 trajectories and RNG state; this module saves any pytree of arrays to a
 single .npz (flattened with a stored treedef-keypath index) and restores it
-into the same structure. Orbax is used transparently when available for
-large multi-host checkpoints.
+into the same structure.
 """
 
 import os

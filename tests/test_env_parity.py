@@ -7,13 +7,22 @@ the identical action sequences through OUR jitted task cores from the same
 cube spawns and compare the full pipeline -- EE-delta action decode
 (right AND left arms), IK, 10x2ms physics, obs normalization, reward.
 
-Tolerances: the two IK solvers find slightly different minima of the same
-residual each step (scipy adaptive TRF vs fixed-budget LM) and the arms
-integrate those differences forward, so q_pos obs (range-normalized) get a
-few-percent band; the cube is untouched by the scripted sequences, so its
-SETTLED position must match tightly (the initial 2.6 cm drop onto the
-table rings differently under MuJoCo's solref/solimp vs our penalty
-contacts -- that transient gets a wide band).
+Tolerances (round-2 measurements, tools/diag_env_parity.py): per-step
+teacher-forced parity is ~1e-4 normalized everywhere — scipy-TRF-exact IK
+(solvers/trf.py), the IK qpos-scribble teleport + dm_control split-step
+quirks, MuJoCo-impedance contacts/limits and dry frictionloss
+(dynamics/engine.constraint_qacc) together put decode at <= 3.4e-4 rad and
+single-step dynamics at <= 3.5e-4 rad vs live MuJoCo. End-to-end the solo
+and dual runs stay at 2e-4 normalized (~8e-4 rad: the <1e-3 rad
+north-star bound holds). The torso runs wider (measured 0.0158): its home
+pose parks three joints OUTSIDE their ranges, and while a joint is out of
+range the reference skips IK entirely (scipy raises on an out-of-bounds
+start), so the step at which each solver's joint re-enters range is a
+bifurcation that amplifies ~3e-4/step dynamics noise chaotically — scipy
+itself teacher-forced against its own recording shows the same ~4.6e-2
+scatter there. The settled cube must match tightly; the 2.6 cm drop
+transient differs by <= 1.1 mm at the impact step (critically damped
+impedance contact vs MuJoCo's constraint solve at 2 ms resolution).
 """
 
 import os
@@ -32,9 +41,9 @@ CASES = [
     # makes them flop differently -- they get a wide band. Redundant-arm
     # null-space drift across solvers gives dual/torso slightly wider
     # arm bands than solo.
-    ("solo_arm_env_trace.npz", "KManipSoloArm", ("eer",), 0.05),
-    ("dual_arm_env_trace.npz", "KManipDualArm", ("eer", "eel"), 0.15),
-    ("torso_env_trace.npz", "KManipTorso", ("eer", "eel"), 0.15),
+    ("solo_arm_env_trace.npz", "KManipSoloArm", ("eer",), 0.002),
+    ("dual_arm_env_trace.npz", "KManipDualArm", ("eer", "eel"), 0.002),
+    ("torso_env_trace.npz", "KManipTorso", ("eer", "eel"), 0.03),
 ]
 
 
@@ -83,9 +92,10 @@ def test_env_trace_matches_reference(trace, env_id, arms, band):
 
     # IK-controlled arm joints: strict morphology band (see CASES)
     assert arm_dev.max() < band
-    # everything incl. limit-parked sliders: sanity band only
-    assert q_pos_dev.max() < 0.6
-    assert cube_dev[-1].max() < 0.01, "settled cube position diverged"
-    assert cube_dev.max() < 0.2  # settling-transient band
+    # everything incl. limit-parked sliders (normalized by their 34 mm
+    # range, so 0.06 = 2 mm of slider wiggle)
+    assert q_pos_dev.max() < 0.06
+    assert cube_dev[-1].max() < 0.002, "settled cube position diverged"
+    assert cube_dev.max() < 0.02  # settling-transient band
     # EE-level behavior (reward is the EE-cube distance proxy) stays matched
-    assert max(reward_dev) < 0.15
+    assert max(reward_dev) < 0.02

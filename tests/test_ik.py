@@ -128,3 +128,53 @@ def test_ik_respects_joint_limits(solo):
     assert np.all(np.asarray(q_sol) >= lo - 1e-6)
     assert np.all(np.asarray(q_sol) <= hi + 1e-6)
     assert not np.any(np.isnan(np.asarray(q_sol)))
+
+
+def test_ik_trf_tracks_scipy_sequence(solo):
+    """The env-path TRF solver (solvers/trf.py) must track scipy's
+    least_squares SOLUTIONS across a 20-step receding-goal sequence, warm
+    starts and all — including trust-radius-collapse early exits, where a
+    plain LM lands elsewhere on the redundant-arm manifold. Both solvers
+    use the reference's analytic (deliberately inconsistent) Jacobian
+    (ik_mujoco.py:56-97). Float32 accumulates a few 1e-4 rad of roundoff
+    divergence; the f64 port is bit-exact (tools/exp_trf_replica.py)."""
+    from scipy.optimize import least_squares
+
+    from gym_kmanip_tpu.solvers.ik import ik_trf, reference_jacobian
+
+    f = jnp.float32
+    q_scipy = jnp.asarray(solo.home_qpos, dtype=f)
+    q_ours = q_scipy
+    prev_scipy = q_scipy
+    prev_ours = q_ours
+    p0, quat0 = _ee_pose(solo, q_scipy)
+    goal = np.asarray(p0)
+    lo = solo.jnt_range[list(Q_MASK), 0]
+    hi = solo.jnt_range[list(Q_MASK), 1]
+    solve = jax.jit(partial(ik_trf, solo, q_mask=Q_MASK, site_name="eer_site"))
+    q_home = jnp.asarray(solo.home_qpos, dtype=f)
+
+    rng = np.random.RandomState(0)
+    worst = 0.0
+    for _ in range(20):
+        goal = goal + rng.uniform(-1, 1, 3) * k.EE_POS_DELTA
+        g = jnp.asarray(goal, dtype=f)
+        res_fn = partial(
+            _residual, solo, qpos_full=q_scipy, goal_pos=g, goal_orn=quat0,
+            q_home=q_home[jnp.asarray(Q_MASK)],
+            q_prev=prev_scipy[jnp.asarray(Q_MASK)],
+            q_mask=Q_MASK, site_name="eer_site",
+        )
+        np_res = lambda q: np.asarray(res_fn(jnp.asarray(q, f)), np.float64)
+        np_jac = lambda q: np.asarray(
+            reference_jacobian(solo, jnp.asarray(q, f), q_scipy, quat0,
+                               Q_MASK, "eer_site"), np.float64)
+        ref = least_squares(np_res, np.asarray(q_scipy)[list(Q_MASK)],
+                            jac=np_jac, bounds=(lo, hi))
+        q_sol, _ = solve(q_ours, g, quat0, q_home, prev_ours)
+        worst = max(worst, float(np.abs(ref.x - np.asarray(q_sol)).max()))
+        prev_scipy, prev_ours = q_scipy, q_ours
+        q_scipy = q_scipy.at[jnp.asarray(Q_MASK)].set(jnp.asarray(ref.x, f))
+        q_ours = q_ours.at[jnp.asarray(Q_MASK)].set(q_sol)
+    # cumulative (each solver warm-starts from its OWN trajectory)
+    assert worst < 1e-3, f"TRF diverged from scipy: {worst:.2e} rad"

@@ -109,14 +109,31 @@ def main():
         cube_spawn = env.unwrapped.env._physics.data.qpos[-7:-4].copy()
 
         rng = np.random.RandomState(SEED)
+        phys = env.unwrapped.env._physics
         actions, qpos_obs, qvel_obs, cube_obs, rewards = [], [], [], [], []
+        # raw per-step internals for component-wise parity attribution
+        # (tests/test_env_parity.py + tools/diag_env_parity.py):
+        raw_qpos_pre, raw_qvel_pre = [], []  # full MuJoCo qpos/qvel BEFORE step
+        raw_ctrl, raw_mocap = [], []  # ctrl after before_step (IK output); mocap goals
+        raw_qpos_post, raw_qvel_post = [], []
+        raw_warmstart = []  # qacc_warmstart BEFORE step (solver hidden state)
         for t in range(N_STEPS):
             act = {}
             for side in arms:
                 act[f"{side}_pos"] = rng.uniform(-1, 1, 3).astype(np.float32)
                 act[f"{side}_orn"] = np.zeros(3, dtype=np.float32)
                 act[f"grip_{side[-1]}"] = np.zeros(1, dtype=np.float32)
+            raw_qpos_pre.append(phys.data.qpos.copy())
+            raw_qvel_pre.append(phys.data.qvel.copy())
+            raw_warmstart.append(phys.data.qacc_warmstart.copy())
             obs, reward, term, trunc, info = env.step(act)
+            raw_ctrl.append(phys.data.ctrl.copy())
+            raw_mocap.append(
+                np.concatenate([phys.data.mocap_pos.ravel(),
+                                phys.data.mocap_quat.ravel()])
+            )
+            raw_qpos_post.append(phys.data.qpos.copy())
+            raw_qvel_post.append(phys.data.qvel.copy())
             actions.append(
                 np.concatenate([act[f"{s}_pos"] for s in arms])
             )
@@ -134,6 +151,13 @@ def main():
             q_vel=np.stack(qvel_obs),
             cube_pos=np.stack(cube_obs),
             reward=np.asarray(rewards),
+            raw_qpos_pre=np.stack(raw_qpos_pre),
+            raw_qvel_pre=np.stack(raw_qvel_pre),
+            raw_ctrl=np.stack(raw_ctrl),
+            raw_mocap=np.stack(raw_mocap),
+            raw_qpos_post=np.stack(raw_qpos_post),
+            raw_qvel_post=np.stack(raw_qvel_post),
+            raw_warmstart=np.stack(raw_warmstart),
         )
         print(f"wrote {builtin}_env_trace.npz: {N_STEPS} steps, cube {cube_spawn.round(3)}")
 
