@@ -48,6 +48,28 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), (ROLLOUT_AXIS,))
 
 
+def global_elite(costs: jax.Array, cand: jax.Array, local_k: int,
+                 axis: str = ROLLOUT_AXIS) -> Tuple[jax.Array, jax.Array]:
+    """Deterministic global argmin inside a shard_map region.
+
+    Returns (best_cand, gmin): the single candidate with the globally
+    minimal cost, ties broken by the smallest GLOBAL candidate index
+    (device-major) — never a blend of tied candidates from different
+    devices. `costs` is the (local_k,) per-device cost shard, `cand` the
+    (local_k, ...) candidate shard.
+    """
+    gmin = jax.lax.pmin(jnp.min(costs), axis)
+    local_idx = jnp.argmin(costs)  # first local minimum (deterministic)
+    gidx = jax.lax.axis_index(axis) * local_k + local_idx
+    gidx_masked = jnp.where(
+        costs[local_idx] <= gmin, gidx, jnp.iinfo(jnp.int32).max
+    )
+    win_gidx = jax.lax.pmin(gidx_masked, axis)
+    sel = (gidx == win_gidx).astype(cand.dtype)
+    best_cand = jax.lax.psum(sel * cand[local_idx], axis)
+    return best_cand, gmin
+
+
 def make_sharded_mppi_solver(
     model: RobotModel,
     cfg: MPPIConfig,
@@ -96,7 +118,10 @@ def make_sharded_mppi_solver(
             return cost
 
         costs = jax.vmap(score)(cand)  # (local_k,)
-        gmin = jax.lax.pmin(jnp.min(costs), ROLLOUT_AXIS)
+        # elite acceptance: next nominal = globally best evaluated candidate
+        # (monotone since the old nominal is in the batch); averaged becomes
+        # the next proposal
+        best_cand, gmin = global_elite(costs, cand, local_k)
         # scale-invariant temperature via the global cost std (two psums)
         gmean = jax.lax.psum(jnp.sum(costs), ROLLOUT_AXIS) / cfg.n_samples
         gvar = jax.lax.psum(jnp.sum((costs - gmean) ** 2), ROLLOUT_AXIS) / cfg.n_samples
@@ -106,14 +131,6 @@ def make_sharded_mppi_solver(
         averaged = jnp.clip(
             jax.lax.psum(jnp.einsum("k,khu->hu", w_un, cand), ROLLOUT_AXIS) / z,
             lo, hi,
-        )
-        # elite acceptance: next nominal = globally best evaluated candidate
-        # (monotone since the old nominal is in the batch); averaged becomes
-        # the next proposal. Global argmin via indicator-weighted psum.
-        is_best = (costs <= gmin).astype(jnp.float32)
-        n_best = jax.lax.psum(jnp.sum(is_best), ROLLOUT_AXIS)
-        best_cand = (
-            jax.lax.psum(jnp.einsum("k,khu->hu", is_best, cand), ROLLOUT_AXIS) / n_best
         )
         return best_cand, averaged, gmin
 

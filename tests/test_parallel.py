@@ -57,6 +57,94 @@ def test_sharded_mppi_improves(setup):
     assert float(J_opt) <= float(J_hold) + 1e-6
 
 
+def test_global_elite_tie_break():
+    """Ties at the global min must resolve to ONE candidate (smallest global
+    index), never an indicator-weighted blend across devices."""
+    from jax.sharding import PartitionSpec as P
+
+    from gym_kmanip_tpu.parallel.mesh import global_elite
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    local_k = 3
+    costs = np.ones(n_dev * local_k, dtype=np.float32)
+    cand = np.arange(n_dev * local_k * 4, dtype=np.float32).reshape(-1, 4)
+    # exact tie between devices 1 and (n_dev-1)
+    win = 1 * local_k + 2
+    costs[win] = 0.5
+    costs[(n_dev - 1) * local_k] = 0.5
+
+    f = jax.jit(
+        jax.shard_map(
+            lambda c, x: global_elite(c, x, local_k),
+            mesh=mesh,
+            in_specs=(P("rollout"), P("rollout")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    best, gmin = f(jnp.asarray(costs), jnp.asarray(cand))
+    assert float(gmin) == 0.5
+    np.testing.assert_array_equal(np.asarray(best), cand[win])
+
+
+def test_sharded_matches_single_device_replay(setup):
+    """Numerical equivalence: the sharded solve must produce bit-level the
+    same elite (and near-identical averaged proposal) as an unsharded
+    single-device replay of the identical math with the identical per-device
+    noise keys (VERDICT r1 item 2ii)."""
+    from gym_kmanip_tpu.mpc.mppi import sample_noise, sigma_per_actuator
+
+    solo, sim0, cost_fn = setup
+    n_dev = len(jax.devices())
+    local_k = 2
+    cfg = MPPIConfig(
+        horizon=4, n_samples=local_k * n_dev, n_iters=1, sigma=0.08,
+        contact=False,
+    )
+    mesh = make_mesh()
+    solver = make_sharded_mppi_solver(solo, cfg, cost_fn, mesh)
+    st = init_mppi(solo, cfg)
+    st2, u0, J = solver(st, sim0)
+
+    # ---- unsharded replay of exactly what sharded_iter computes ----
+    lo = jnp.asarray(solo.ctrl_range[:, 0], dtype=jnp.float32)
+    hi = jnp.asarray(solo.ctrl_range[:, 1], dtype=jnp.float32)
+    sigma = sigma_per_actuator(solo, cfg.sigma)
+    _, sub = jax.random.split(st.rng)
+    keys = jax.random.split(sub, n_dev)
+    cands = []
+    for d in range(n_dev):
+        eps = sample_noise(
+            keys[d], local_k, cfg.horizon, solo.nu, sigma, cfg.noise_beta
+        )
+        if d == 0:
+            eps = eps.at[0].set(0.0)
+        c = jnp.clip(st.nominal[None] + eps, lo, hi)
+        if d == 0:
+            c = c.at[1].set(st.nominal)  # initial proposal = nominal
+        cands.append(c)
+    cand = jnp.concatenate(cands, axis=0)  # (K, H, nu) device-major
+
+    def score(u_seq):
+        c, _ = rollout(
+            solo, sim0, u_seq, cost_fn,
+            n_substeps=cfg.n_substeps, dt=cfg.dt, contact=cfg.contact,
+        )
+        return c
+
+    costs = jax.vmap(score)(cand)
+    gmin = jnp.min(costs)
+    best = cand[int(jnp.argmin(costs))]
+
+    assert float(J) == pytest.approx(float(gmin), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(best[0]), atol=1e-6)
+    expect_nominal = jnp.concatenate([best[1:], best[-1:]], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(st2.nominal), np.asarray(expect_nominal), atol=1e-6
+    )
+
+
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
