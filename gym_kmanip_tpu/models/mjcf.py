@@ -7,22 +7,30 @@ of compiling XML into an opaque C struct, the kinematic tree is parsed
 host-side into the same frozen numpy RobotModel the rest of the framework
 jits against.
 
-Supported subset (everything the Stompy MJCFs use):
+Supported subset (everything the Stompy MJCFs use, plus the extensions the
+shipped in-repo assets rely on):
   * <include> resolution and top-level section merging
   * nested <body> with pos / quat / euler, mocap bodies
   * <joint> hinge (default) and slide, pos=0 axis=z (asserted), range,
-    frictionloss
+    frictionloss, armature
+  * <inertial> (mass / pos / diaginertia) — wins over the engineering
+    estimates when present
   * <site> elements and *_site marker bodies
+  * sphere <geom name="tip_{r|l}..."> -> gripper FingertipSpec collision
+    spheres
   * <camera> fixed or mode="targetbody"
   * <position> actuators: kp, ctrlrange, forcerange, joint mapping
-Geoms/meshes are ignored (visual + contact geometry is approximated by the
-engine's analytic primitives; the STL meshes are .gitignored upstream).
+  * <keyframe><key name="home" qpos=.../> -> home_qpos (first nq values;
+    trailing free-body dofs, e.g. the cube's 7, are ignored)
+Other geoms/meshes are ignored (visual + contact geometry is approximated
+by the engine's analytic primitives; the STL meshes are .gitignored
+upstream).
 
-The three built-in robots (models/__init__.py) remain the hand-derived
-tables; this loader exists so users can import their OWN robots the same
-way the reference's templates workflow intended, and so tests can
-cross-validate the tables against the original XML trees when the
-reference checkout is present.
+This loader is the single source of truth for the three built-in robots:
+models/__init__.py builds them from gym_kmanip_tpu/assets/*.xml through
+this path (models/_chains.py is kept only as a cross-check table, see
+tests/test_mjcf_loader.py), and users import their OWN robots the same way
+the reference's asset-templates workflow intended.
 """
 
 import os
@@ -99,6 +107,7 @@ def load_mjcf(
     joints: List[dict] = []
     sites: List[dict] = []
     cameras: List[dict] = []
+    tips: List[dict] = []
     mocap_pos: List[NDArray] = []
     mocap_quat: List[NDArray] = []
     jname_to_idx: Dict[str, int] = {}
@@ -129,18 +138,39 @@ def load_mjcf(
                 "(true for all Stompy MJCFs)"
             )
             idx = len(joints)
-            joints.append(
-                dict(
-                    name=jel.get("name", f"joint_{idx}"),
-                    parent=parent_joint,
-                    frames=my_frames,
-                    type=jel.get("type", "hinge"),
-                    range=tuple(_parse_vec(jel.get("range"), (0.0, 0.0))),
-                    frictionloss=float(jel.get("frictionloss", 0.0)),
-                )
+            jrec = dict(
+                name=jel.get("name", f"joint_{idx}"),
+                parent=parent_joint,
+                frames=my_frames,
+                type=jel.get("type", "hinge"),
+                range=tuple(_parse_vec(jel.get("range"), (0.0, 0.0))),
+                frictionloss=float(jel.get("frictionloss", 0.0)),
             )
-            jname_to_idx[joints[-1]["name"]] = idx
+            if jel.get("armature") is not None:
+                jrec["armature"] = float(jel.get("armature"))
+            ine = body.find("inertial")
+            if ine is not None:
+                jrec["mass"] = float(ine.get("mass"))
+                jrec["com"] = _parse_vec(ine.get("pos"), (0.0, 0, 0))
+                if ine.get("diaginertia") is not None:
+                    jrec["inertia"] = _parse_vec(ine.get("diaginertia"), None)
+            joints.append(jrec)
+            jname_to_idx[jrec["name"]] = idx
             parent_joint, my_frames = idx, []
+
+        # gripper fingertip collision spheres (shipped-asset convention:
+        # sphere geoms named tip_r* / tip_l*)
+        for geom in body.findall("geom"):
+            gname = geom.get("name", "")
+            if geom.get("type") == "sphere" and gname.startswith("tip_"):
+                tips.append(
+                    dict(
+                        parent=parent_joint,
+                        pos=_parse_vec(geom.get("pos"), (0.0, 0, 0)),
+                        radius=float(geom.get("size", "0.008").split()[0]),
+                        side=gname.split("_")[1],
+                    )
+                )
 
         # EE marker bodies ("eer_site"/"eel_site" with a site inside)
         if bname in _EE_SITE_BODIES:
@@ -211,12 +241,23 @@ def load_mjcf(
     )
 
     nq = len(joints)
+
+    # home keyframe (shipped-asset convention; trailing free-body dofs such
+    # as the cube's 7 are ignored)
+    if home_qpos is None:
+        kf = root.find("keyframe")
+        if kf is not None:
+            for key in kf.findall("key"):
+                if key.get("name") == "home" and key.get("qpos") is not None:
+                    home_qpos = _parse_vec(key.get("qpos"), None)[:nq]
+                    break
+
     return build_model(
         name=name or os.path.splitext(os.path.basename(path))[0],
         joints=joints,
         sites=sites,
         cameras=cameras,
-        fingertips=fingertips or [],
+        fingertips=fingertips if fingertips is not None else tips,
         actuators=actuators,
         home_qpos=home_qpos if home_qpos is not None else np.zeros(nq),
         mocap_pos0=np.stack(mocap_pos) if mocap_pos else np.zeros((0, 3)),

@@ -198,12 +198,27 @@ def build_model(
 
     joint_names = tuple(j["name"] for j in joints)
     cls = [_mass_class(n) for n in joint_names]
-    body_mass = np.array([_MASS_BY_CLASS[c] for c in cls])
-    armature = np.array([_ARMATURE_BY_CLASS[c] for c in cls])
+    # explicit inertials (e.g. from a shipped MJCF <inertial>) win over the
+    # per-actuator-class engineering estimates
+    body_mass = np.array(
+        [j.get("mass", _MASS_BY_CLASS[c]) for j, c in zip(joints, cls)]
+    )
+    armature = np.array(
+        [j.get("armature", _ARMATURE_BY_CLASS[c]) for j, c in zip(joints, cls)]
+    )
     # children hang mostly in -z of each body frame; put the com partway there
-    body_com = np.tile(np.array([0.0, 0.0, -0.05]), (nq, 1))
-    body_com[jnt_type == SLIDE] = np.array([0.0, 0.0, -0.02])
-    body_inertia = body_mass[:, None] * _GYRATION_RADIUS**2 * np.ones((nq, 3))
+    est_com = np.tile(np.array([0.0, 0.0, -0.05]), (nq, 1))
+    est_com[jnt_type == SLIDE] = np.array([0.0, 0.0, -0.02])
+    body_com = np.array(
+        [np.asarray(j.get("com", est_com[i]), dtype=np.float64)
+         for i, j in enumerate(joints)]
+    )
+    body_inertia = np.array(
+        [np.asarray(
+            j.get("inertia", body_mass[i] * _GYRATION_RADIUS**2 * np.ones(3)),
+            dtype=np.float64,
+        ) for i, j in enumerate(joints)]
+    )
 
     nu = len(actuators)
     actuator_kp = np.array([a["kp"] for a in actuators])

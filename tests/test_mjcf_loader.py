@@ -1,9 +1,12 @@
-"""MJCF loader cross-validation: parsing the original reference XML trees
-must reproduce the hand-derived built-in models exactly (kinematic tree,
-joint params, actuators, sites, mocap bodies).
+"""MJCF loader validation, two layers:
 
-Skipped when the reference checkout is absent (the loader is a user-facing
-robot-import capability; the built-ins never depend on it at runtime).
+1. SHIPPED assets (gym_kmanip_tpu/assets/*.xml, the production source of
+   the built-in robots since round 2) must load into models identical to
+   the hand-derived _chains tables they were generated from — no reference
+   checkout required.
+2. Parsing the ORIGINAL reference XML trees must also reproduce the same
+   models (kinematic tree, joint params, actuators, sites, mocap bodies);
+   skipped when the reference checkout is absent.
 """
 
 import os
@@ -12,9 +15,55 @@ import numpy as np
 import pytest
 
 from gym_kmanip_tpu import constants as k
-from gym_kmanip_tpu.models import get_model
+from gym_kmanip_tpu.models import _table_models, get_model
 
 REF_ASSETS = "/root/reference/gym_kmanip/assets"
+
+
+@pytest.mark.parametrize("builtin", ["solo_arm", "dual_arm", "torso"])
+def test_shipped_assets_match_tables(builtin):
+    """The asset-backed registry (models/__init__.py -> assets/*.xml ->
+    mjcf loader) reproduces the _chains cross-check tables exactly,
+    including the data the tables carry but generic MJCF lacks (home
+    keyframe, inertials, fingertip spheres)."""
+    loaded = get_model(builtin)  # production path: shipped XML
+    table = _table_models()[builtin]()  # cross-check path
+
+    assert os.path.exists(os.path.join(k.ASSETS_DIR, f"{builtin}.xml"))
+    assert loaded.nq == table.nq and loaded.nu == table.nu
+    assert loaded.joint_names == table.joint_names
+    np.testing.assert_array_equal(loaded.parent, table.parent)
+    np.testing.assert_allclose(loaded.jnt_pos, table.jnt_pos, atol=1e-7)
+    for a, b in zip(loaded.jnt_quat, table.jnt_quat):
+        assert np.allclose(a, b, atol=1e-6) or np.allclose(a, -b, atol=1e-6)
+    np.testing.assert_array_equal(loaded.jnt_type, table.jnt_type)
+    np.testing.assert_allclose(loaded.jnt_range, table.jnt_range, atol=1e-9)
+    np.testing.assert_allclose(loaded.jnt_frictionloss, table.jnt_frictionloss)
+    np.testing.assert_allclose(loaded.home_qpos, table.home_qpos, atol=1e-9)
+    np.testing.assert_allclose(loaded.body_mass, table.body_mass)
+    np.testing.assert_allclose(loaded.body_com, table.body_com, atol=1e-9)
+    np.testing.assert_allclose(loaded.body_inertia, table.body_inertia, atol=1e-9)
+    np.testing.assert_allclose(loaded.armature, table.armature)
+    np.testing.assert_allclose(loaded.actuator_kp, table.actuator_kp)
+    np.testing.assert_allclose(loaded.ctrl_range, table.ctrl_range)
+    np.testing.assert_allclose(loaded.force_range, table.force_range)
+    np.testing.assert_allclose(loaded.mocap_pos0, table.mocap_pos0, atol=1e-9)
+    assert len(loaded.fingertips) == len(table.fingertips)
+    for lt, tt in zip(loaded.fingertips, table.fingertips):
+        assert (lt.parent, lt.side) == (tt.parent, tt.side)
+        np.testing.assert_allclose(lt.pos, tt.pos, atol=1e-9)
+        assert lt.radius == pytest.approx(tt.radius)
+    for s in table.sites:
+        ls = loaded.site(s.name)
+        assert ls.parent == s.parent
+        np.testing.assert_allclose(ls.pos, s.pos, atol=1e-9)
+    assert {c.name for c in loaded.cameras} == {c.name for c in table.cameras}
+    for c in table.cameras:
+        lc = loaded.camera(c.name)
+        assert lc.parent == c.parent
+        np.testing.assert_allclose(lc.pos, c.pos, atol=1e-9)
+        assert lc.fovy == pytest.approx(c.fovy)
+        assert lc.target_site == c.target_site
 
 CASES = [
     ("_env_solo_arm.xml", "solo_arm", k.Q_SOLO_ARM_HOME),
