@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: the full iLQR Riccati backward sweep in ONE launch.
+
+The serial backward pass is H tiny steps (a few (n+m)-sized matmuls and an
+m x m SPD solve each, n<=53, m<=20) chained by the (Vx, Vxx) value
+recursion. As a `lax.scan` of XLA ops it is launch/latency-bound: ~0.3 ms
+per step on a v5e (~30 ms for H=100) against ~2 us of actual arithmetic.
+This kernel keeps the entire problem resident in VMEM (~4 MB at torso
+H=100) and runs the whole sweep inside one `fori_loop`: per-step matmuls
+hit the MXU, the Quu Cholesky factorization + two-sided substitution are
+trace-time-unrolled rows exactly like ops/pallas_linalg, and the only HBM
+traffic is the initial operand load and the (ks, Ks) gain write-back. This
+is the "fused Pallas Cholesky/Riccati sweep" the BASELINE north star
+names.
+
+Mosaic discipline: every value stays rank-2 ((n,1) columns, (1,1)
+"scalars") — rank-1 vectors pick up implicit tiling dims that the TPU
+layout pass rejects, and mat-vec contractions lower to unsupported
+multi_reductions.
+
+The math is identical to the serial scan in solvers/ilqr.py `backward`
+(regularized Quu, symmetrized value Hessian); tests/test_mpc.py checks the
+gains against it.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mm(a, b):
+    """Rank-2 matmul on the MXU in full f32.
+
+    Precision.HIGHEST matters: the MXU's native path truncates f32 inputs
+    to bf16, and the Riccati recursion amplifies that per-step truncation
+    into divergence (NaN after ~20 steps measured at torso sizes); HIGHEST
+    selects the multi-pass f32 algorithm.
+    """
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _chol_solve_rows(Quu, RHS, m: int, lam=0.0):
+    """Solve Quu X = RHS for SPD Quu (m, m), RHS (m, r): trace-time-unrolled
+    Cholesky with PIVOT DROPPING; intermediates are (1, 1) scalars or
+    (1, r) rows.
+
+    Quu = cuu + B'VxxB is SPD analytically, but near-uncontrollable
+    directions push its small eigenvalues below the f32 noise of the
+    B'VxxB product — a plain no-pivot factorization then breaks down
+    (negative pivot -> NaN, or a denormal pivot -> gains ~1e5 that
+    overflow the value recursion within ~20 steps; both observed at torso
+    sizes). When a pivot falls below 1e-6 x the largest diagonal, its
+    direction is DROPPED: the column is zeroed and the substitution
+    returns zero gain there — the solve restricted to the well-conditioned
+    principal subspace, i.e. a truncated pseudo-inverse rather than an
+    exploding inverse.
+
+    The matrix is first diagonally equilibrated (Jacobi scaling to unit
+    diagonal): the dominant ill-conditioning is the ~1e5 scale spread
+    between actuator classes (gripper cuu ~2e-3 vs arm B'VxxB ~1e2),
+    which squares into the condition number; scaling removes it before
+    the f32 factorization sees it."""
+    dscale = [None] * m
+    for j in range(m):
+        dj = Quu[j : j + 1, j : j + 1] + lam  # implicit Quu + lam*I
+        dscale[j] = 1.0 / jnp.sqrt(jnp.maximum(dj, 1e-30))
+    # S = D (Quu + lam I) D has unit diagonal; pivots of a
+    # well-conditioned S are O(1), so the drop threshold is absolute
+    floor = 1e-5
+    L = [[None] * m for _ in range(m)]
+    keep = [None] * m
+    for j in range(m):
+        s = jnp.ones_like(Quu[0:1, 0:1])
+        for t in range(j):
+            s = s - L[j][t] * L[j][t]
+        keep[j] = s > floor
+        L[j][j] = jnp.sqrt(jnp.where(keep[j], s, 1.0))
+        inv_d = jnp.where(keep[j], 1.0 / L[j][j], 0.0)
+        for i in range(j + 1, m):
+            s = Quu[i : i + 1, j : j + 1] * (dscale[i] * dscale[j])
+            for t in range(j):
+                s = s - L[i][t] * L[j][t]
+            L[i][j] = s * inv_d
+    y = [None] * m
+    for i in range(m):
+        s = RHS[i : i + 1, :] * dscale[i]
+        for t in range(i):
+            s = s - L[i][t] * y[t]
+        y[i] = jnp.where(keep[i], s / L[i][i], 0.0)
+    z = [None] * m
+    for i in range(m - 1, -1, -1):
+        s = y[i]
+        for t in range(i + 1, m):
+            s = s - L[t][i] * z[t]  # z (scaled solution), NOT the rescaled X
+        z[i] = jnp.where(keep[i], s / L[i][i], 0.0)
+    return jnp.concatenate(
+        [z[i] * dscale[i] for i in range(m)], axis=0
+    )  # X = D z, (m, r)
+
+
+def _sweep_kernel(
+    H: int, n: int, m: int, reg: float,
+    A_ref, B_ref, cx_ref, cu_ref, cxx_ref, cuu_ref, cux_ref,
+    VxT_ref, VxxT_ref, ks_ref, Ks_ref,
+):
+    eye_u = jnp.eye(m, dtype=jnp.float32) * reg
+
+    def body(i, carry):
+        Vx, Vxx = carry  # (n, 1), (n, n)
+        t = H - 1 - i
+        A = A_ref[pl.ds(t, 1)].reshape(n, n)
+        B = B_ref[pl.ds(t, 1)].reshape(n, m)
+        cx = cx_ref[pl.ds(t, 1)].reshape(1, n)
+        cu = cu_ref[pl.ds(t, 1)].reshape(1, m)
+        cxx = cxx_ref[pl.ds(t, 1)].reshape(n, n)
+        cuu = cuu_ref[pl.ds(t, 1)].reshape(m, m)
+        cux = cux_ref[pl.ds(t, 1)].reshape(m, n)
+
+        VxxA = _mm(Vxx, A)  # (n, n)
+        Qx = cx.T + _mm(A.T, Vx)  # (n, 1)
+        Qu = cu.T + _mm(B.T, Vx)  # (m, 1)
+        Qxx = cxx + _mm(A.T, VxxA)
+        Quu = cuu + _mm(B.T, _mm(Vxx, B)) + eye_u
+        Qux = cux + _mm(B.T, VxxA)  # (m, n)
+        Quu = 0.5 * (Quu + Quu.T)
+        # Adaptive Levenberg lift: Quu goes GENUINELY indefinite on
+        # non-convex steps (measured eigenvalues down to -4 at torso
+        # sizes — not f32 noise), where an unpivoted Cholesky explodes
+        # and poisons the whole sweep. The classic iLQR remedy is to
+        # raise lambda until Quu + lam I is PD; here the lift comes from
+        # the Gershgorin bound (diag_j - sum_i|offdiag_ji|), which
+        # GUARANTEES positive definiteness for the factorization, plus a
+        # floor at the f32 noise scale of the B'VxxB product. The SAME
+        # lifted matrix feeds the variational value update below, so the
+        # recursion stays stationary w.r.t. the matrix the gains actually
+        # solve; over-damped steps on indefinite stretches just lean
+        # toward the gradient direction, which the caller's line search
+        # handles.
+        amax = jnp.max(jnp.abs(Quu))  # rank-0
+        eye_m = jnp.eye(m, dtype=jnp.float32)
+        diag_col = jnp.sum(Quu * eye_m, axis=1, keepdims=True)  # (m, 1)
+        off_col = jnp.sum(jnp.abs(Quu), axis=1, keepdims=True) - jnp.abs(diag_col)
+        gersh_min = jnp.min(diag_col - off_col)  # rank-0 lower eig bound
+        lam = 1e-5 * amax + jnp.maximum(0.0, 1e-4 * amax - gersh_min)
+
+        RHS = jnp.concatenate([Qu, Qux], axis=1)  # (m, 1+n)
+        Kk = -_chol_solve_rows(Quu, RHS, m, lam)
+        kff, K = Kk[:, 0:1], Kk[:, 1:]  # (m, 1), (m, n)
+
+        # variational (expanded) value update with Quu_eff = Quu + lam I:
+        # stationary at the computed gain, so first-order gain error does
+        # not feed back into the recursion
+        Quuk = _mm(Quu, kff) + lam * kff
+        QuuK = _mm(Quu, K) + lam * K
+        Vx_n = Qx + _mm(K.T, Quuk + Qu) + _mm(Qux.T, kff)
+        Vxx_n = Qxx + _mm(K.T, QuuK) + _mm(K.T, Qux) + _mm(Qux.T, K)
+        Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
+
+        ks_ref[pl.ds(t, 1)] = kff.T  # (1, m)
+        Ks_ref[pl.ds(t, 1)] = K.reshape(1, m, n)
+        return Vx_n, Vxx_n
+
+    jax.lax.fori_loop(
+        0, H, body, (VxT_ref[:, :], VxxT_ref[:, :]), unroll=False
+    )
+
+
+def riccati_sweep_pallas(
+    A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, reg: float,
+    interpret: bool = False,
+):
+    """Full regularized LQR backward sweep. A: (H,n,n), B: (H,n,m), cost
+    derivatives per step, terminal (Vx_T (n,), Vxx_T (n,n)). Returns
+    (ks (H,m), Ks (H,m,n)). `interpret=True` runs the kernel through the
+    pallas interpreter (CPU oracle for tests)."""
+    H, n, _ = A.shape
+    m = B.shape[2]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_sweep_kernel, H, n, m, float(reg)),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, m), A.dtype),
+            jax.ShapeDtypeStruct((H, m, n), A.dtype),
+        ),
+        in_specs=[vmem] * 9,
+        out_specs=(vmem, vmem),
+        interpret=interpret,
+    )(A, B, cx, cu, cxx, cuu, cux, Vx_T.reshape(n, 1), Vxx_T)

@@ -345,20 +345,54 @@ def substep_batched(
     substep's aux contract.
     """
     K, nq = qpos.shape
+    nu = ctrl.shape[1]
     T = max(len(model.fingertips), 1)
+    kernel = partial(_substep_kernel, model, dt, contact, implicit_actuation)
+    in_rows = (nq, nq, nu, 13)
+    out_rows = (nq, nq, 13, T, nq * 3, nq * 4)
+
+    # Lane-dim discipline: the batch lives on the 128-wide lane axis, so
+    # (a) always pad K up to a multiple of 128 — sub-128 batches (iLQR
+    # line-search candidates, batch-of-1 nominal rollouts) waste no
+    # hardware and ragged lane counts compile pathologically; (b) VMEM
+    # scales with the lane width, so batches beyond _BK lanes (e.g. the
+    # iLQR finite-difference linearization's H*(2n+2m) ~ 15k items) are
+    # tiled over a grid. Padding replicates the edge item: pad lanes run
+    # valid physics (no NaN risk).
+    _BK = 2048
+    Kp = max(128, -(-K // 128) * 128)
+    n_blk = -(-Kp // _BK)
+    if n_blk > 1:
+        Kp = n_blk * _BK
+
+    def padded(a):
+        return jnp.pad(a, ((0, Kp - K), (0, 0)), mode="edge").T
+
+    if n_blk == 1:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        out_specs = tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6)
+        grid = ()
+    else:
+        in_specs = [
+            pl.BlockSpec((r, _BK), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for r in in_rows
+        ]
+        out_specs = tuple(
+            pl.BlockSpec((r, _BK), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for r in out_rows
+        )
+        grid = (n_blk,)
     qo, vo, co, touch, xp, xq = pl.pallas_call(
-        partial(_substep_kernel, model, dt, contact, implicit_actuation),
-        out_shape=(
-            jax.ShapeDtypeStruct((nq, K), qpos.dtype),
-            jax.ShapeDtypeStruct((nq, K), qpos.dtype),
-            jax.ShapeDtypeStruct((13, K), qpos.dtype),
-            jax.ShapeDtypeStruct((T, K), jnp.float32),
-            jax.ShapeDtypeStruct((nq * 3, K), qpos.dtype),
-            jax.ShapeDtypeStruct((nq * 4, K), qpos.dtype),
+        kernel,
+        grid=grid,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((r, Kp), jnp.float32) for r in out_rows
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
-    )(qpos.T, qvel.T, ctrl.T, cube13.T)
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )(padded(qpos), padded(qvel), padded(ctrl), padded(cube13))
+    qo, vo, co = qo[:, :K], vo[:, :K], co[:, :K]
+    touch, xp, xq = touch[:, :K], xp[:, :K], xq[:, :K]
     return (
         qo.T,
         vo.T,

@@ -2,16 +2,25 @@
 
 TPU-first gradient-based counterpart to MPPI (no reference analog; the
 BASELINE north star asks for "batched damped-LS IK -> SQP/iLQR" on these
-dynamics). Everything is one jitted program:
+dynamics). The default configuration compiles the ENTIRE solve into one
+device dispatch:
 
-  * dynamics linearization: `vmap(jacfwd(f))` over the whole trajectory --
-    H small Jacobians computed as one batched pass instead of a Python loop
+  * dynamics linearization: branch-consistent central differences — all
+    H x (2n + 2m) probe evaluations as ONE batched call through the fused
+    Pallas substep kernel (`vmap(jacfwd(f))` through the lapack-path graph
+    remains as the exact oracle, fd_linearize=False)
   * cost quadratization: vmapped grad/hessian of the running cost
-  * backward pass: Riccati recursion as `lax.scan` (reversed), with
-    Levenberg-style regularization on Quu
+  * backward pass: the whole Riccati recursion as ONE Pallas kernel
+    (ops/pallas_riccati: VMEM-resident sweep, in-kernel Cholesky,
+    Gershgorin-adaptive Levenberg regularization); `lax.scan` off-TPU, or
+    the O(log H) associative-scan path (parallel_backward)
   * forward pass: line search over a fixed alpha schedule, all candidates
-    rolled out under `vmap`, best improvement selected with `argmin` --
-    XLA-friendly control flow, no host round-trips
+    stepped through the fused kernel under `vmap`, best improvement
+    selected with `argmin` -- XLA-friendly control flow, no host
+    round-trips
+  * fused_solve scans the iteration loop on-device: one dispatch per MPC
+    solve (~10x wall-clock at torso H=100 vs the per-piece host loop,
+    which pays a device round-trip per stage)
 
 State layout x = [qpos, qvel, cube_pos, cube_quat, cube_linvel,
 cube_angvel] (2*nq + 13). The quaternion is treated ambiently; at MPC step
@@ -40,9 +49,32 @@ class ILQRConfig(NamedTuple):
     alphas: Tuple[float, ...] = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01)
     n_substeps: int = 1
     dt: float = k.CONTROL_TIMESTEP
+    # iLQR needs differentiable rollouts; the cube's contact dynamics at
+    # the 20 ms control rate are impact-dominated (use n_substeps=10 at
+    # dt=0.002 for contact-consistent gradients, or False for the smooth
+    # reach/track regime iLQR is built for)
+    contact: bool = True
     # True: O(log H)-depth associative-scan Riccati (solvers/parallel_lqr),
-    # the long-horizon sequence-parallel path; False: serial lax.scan sweep
+    # the long-horizon sequence-parallel path; False: serial sweep (the
+    # fused single-launch Pallas kernel on TPU, lax.scan elsewhere /
+    # pallas_backward=False)
     parallel_backward: bool = False
+    pallas_backward: bool = True
+    # Linearization through the FUSED substep kernel: all H x (2n+2m)
+    # central-difference evaluations as ONE batched Pallas call, instead of
+    # vmap(jacfwd) through the lapack-path graph. ~20x faster on TPU; the
+    # jacfwd path (fd_linearize=False) remains the exact oracle
+    # (tests/test_mpc.py gradient-path parity).
+    fd_linearize: bool = True
+    fd_eps: float = 1e-3
+    # Forward passes (initial rollout + line search) through the fused
+    # batched kernel as well
+    fast_rollouts: bool = True
+    # Jit the whole solve (rollout + scan over iterations) into ONE device
+    # dispatch. Requires the fast paths above (the jacfwd oracle graph
+    # explodes compile times when scanned); turned off automatically when
+    # fd_linearize is off.
+    fused_solve: bool = True
 
 
 def flatten_state(s: SimState) -> jax.Array:
@@ -90,10 +122,25 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
 
     def f(x, u):
         s = unflatten_state(model, x, template)
-        # lapack-style solve keeps the jacfwd graph ~10x smaller; iLQR wall
-        # time is dominated by the linearization, not the rollout solve
-        s2, _ = mpc_step(model, s, u, cfg.n_substeps, cfg.dt, unrolled_solve=False)
+        # lapack-style solve keeps the jacfwd graph ~10x smaller; this slow
+        # path is the differentiation oracle (fd_linearize=False)
+        s2, _ = mpc_step(
+            model, s, u, cfg.n_substeps, cfg.dt, contact=cfg.contact,
+            unrolled_solve=False,
+        )
         return flatten_state(s2)
+
+    def f_fast(x, u):
+        # fast path: dispatches to the fused Pallas substep kernel whenever
+        # the caller is vmapped (engine custom_vmap seam)
+        s = unflatten_state(model, x, template)
+        s2, _ = mpc_step(
+            model, s, u, cfg.n_substeps, cfg.dt, contact=cfg.contact,
+            unrolled_solve=True,
+        )
+        return flatten_state(s2)
+
+    f_fwd = f_fast if cfg.fast_rollouts else f
 
     def total_cost(xs, us):
         return jax.vmap(cost_xu)(xs[:-1], us).sum() + cost_final(xs[-1])
@@ -101,7 +148,9 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
     @jax.jit
     def rollout0(x0, us):
         def body(x, u):
-            x2 = f(x, u)
+            # batch-of-1 vmap so the fused kernel serves the nominal rollout
+            # too (the unbatched jnp path is ~40x slower per step on TPU)
+            x2 = jax.vmap(f_fwd)(x[None], u[None])[0]
             return x2, x2
 
         _, xs_tail = jax.lax.scan(body, x0, us)
@@ -110,8 +159,78 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
 
     @jax.jit
     def derivs(xs, us):
-        A = jax.vmap(jax.jacfwd(f, argnums=0))(xs[:-1], us)
-        B = jax.vmap(jax.jacfwd(f, argnums=1))(xs[:-1], us)
+        if cfg.fd_linearize:
+            # All H x (2n + 2m) finite-difference evaluations of the
+            # dynamics as ONE batched call through the fused kernel.
+            # Branch-consistent steps: the limit/ctrl constraint forces are
+            # piecewise (several home poses park joints exactly AT or
+            # OUTSIDE their range), and a centered difference straddling
+            # the kink averages the limit-spring branch with the free
+            # branch — garbage slopes ~kappa that blow up the Riccati
+            # recursion. Shrink each side of the step so the probe points
+            # never cross a bound (one-sided at a bound, centered in the
+            # interior), matching the branch jacfwd differentiates.
+            X, U = xs[:-1], us
+            Hh = X.shape[0]
+            eps = jnp.asarray(cfg.fd_eps, dtype=dtype)
+            big = jnp.asarray(jnp.inf, dtype=dtype)
+            x_lo = jnp.concatenate(
+                [jnp.asarray(model.jnt_range[:, 0], dtype=dtype),
+                 jnp.full((n - model.nq,), -big, dtype=dtype)]
+            )
+            x_hi = jnp.concatenate(
+                [jnp.asarray(model.jnt_range[:, 1], dtype=dtype),
+                 jnp.full((n - model.nq,), big, dtype=dtype)]
+            )
+
+            def steps(V, v_lo, v_hi):
+                # interior: centered, shrunk so probes never cross a bound
+                sp = jnp.clip(v_hi[None] - V, 0.0, eps)  # (H, d)
+                sm = jnp.clip(V - v_lo[None], 0.0, eps)
+                # OUTSIDE the range (home poses park joints there): probe
+                # one-sided AWAY from the boundary so both points stay in
+                # the active-limit branch jacfwd differentiates
+                above = V > v_hi[None]
+                below = V < v_lo[None]
+                sp = jnp.where(above, eps, jnp.where(below, 0.0, sp))
+                sm = jnp.where(above, 0.0, jnp.where(below, eps, sm))
+                return sp, sm
+
+            sxp, sxm = steps(X, x_lo, x_hi)
+            sup, sum_ = steps(U, lo, hi)
+            Ex = jnp.eye(n, dtype=dtype)
+            Eu = jnp.eye(nu, dtype=dtype)
+            Xp = jnp.concatenate(
+                [
+                    X[:, None, :] + sxp[:, :, None] * Ex[None],
+                    X[:, None, :] - sxm[:, :, None] * Ex[None],
+                    jnp.broadcast_to(X[:, None, :], (Hh, 2 * nu, n)),
+                ],
+                axis=1,
+            )
+            Up = jnp.concatenate(
+                [
+                    jnp.broadcast_to(U[:, None, :], (Hh, 2 * n, nu)),
+                    U[:, None, :] + sup[:, :, None] * Eu[None],
+                    U[:, None, :] - sum_[:, :, None] * Eu[None],
+                ],
+                axis=1,
+            )
+            Y = jax.vmap(f_fast)(
+                Xp.reshape(-1, n), Up.reshape(-1, nu)
+            ).reshape(Hh, 2 * (n + nu), n)
+            A = jnp.swapaxes(
+                (Y[:, :n] - Y[:, n : 2 * n]) / (sxp + sxm)[:, :, None], 1, 2
+            )
+            B = jnp.swapaxes(
+                (Y[:, 2 * n : 2 * n + nu] - Y[:, 2 * n + nu :])
+                / (sup + sum_)[:, :, None],
+                1,
+                2,
+            )
+        else:
+            A = jax.vmap(jax.jacfwd(f, argnums=0))(xs[:-1], us)
+            B = jax.vmap(jax.jacfwd(f, argnums=1))(xs[:-1], us)
         cx = jax.vmap(jax.grad(cost_xu, argnums=0))(xs[:-1], us)
         cu = jax.vmap(jax.grad(cost_xu, argnums=1))(xs[:-1], us)
         cxx = jax.vmap(jax.hessian(cost_xu, argnums=0))(xs[:-1], us)
@@ -139,6 +258,13 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
             )
             Ks, ks = backward_associative(prob)
             return ks, Ks
+
+        if cfg.pallas_backward and jax.default_backend() == "tpu":
+            from gym_kmanip_tpu.ops.pallas_riccati import riccati_sweep_pallas
+
+            return riccati_sweep_pallas(
+                A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, cfg.reg
+            )
 
         def step(carry, inp):
             Vx, Vxx = carry
@@ -169,7 +295,9 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
             def body(x, inp):
                 x_nom, u_nom, kff, K = inp
                 u = jnp.clip(u_nom + alpha * kff + K @ (x - x_nom), lo, hi)
-                x2 = f(x, u)
+                # the outer vmap over alphas batches this call, so the fused
+                # kernel serves all line-search candidates per step
+                x2 = f_fwd(x, u)
                 return x2, (x2, u)
 
             _, (xs_tail, us_new) = jax.lax.scan(body, x0, (xs[:-1], us, ks, Ks))
@@ -180,7 +308,39 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
         best = jnp.argmin(costs_c)
         return xs_c[best], us_c[best], costs_c[best]
 
-    return rollout0, derivs, backward, linesearch
+    @jax.jit
+    def iteration(x0, xs, us, cost):
+        """One full iLQR iteration (derivs -> backward -> line search ->
+        monotone accept) as ONE dispatch: with the FD linearization, the
+        Pallas Riccati sweep, and the fused forward passes, the per-piece
+        graphs are small enough to jit together, so the host loop costs a
+        single device round-trip per iteration instead of three."""
+        ks, Ks = backward(*derivs(xs, us))
+        xs_c, us_c, cost_c = linesearch(x0, xs, us, ks, Ks)
+        better = cost_c < cost
+        xs_n = jnp.where(better, xs_c, xs)
+        us_n = jnp.where(better, us_c, us)
+        return xs_n, us_n, jnp.minimum(cost_c, cost)
+
+    @jax.jit
+    def solve_fused(x0, us):
+        """The ENTIRE solve (initial rollout + n_iters iterations) as ONE
+        compiled program — a single device dispatch per MPC solve. Only
+        viable with the small fused-path graphs (the jacfwd oracle path
+        explodes XLA compile times when scanned over iterations)."""
+        xs, cost = rollout0(x0, us)
+
+        def body(carry, _):
+            xs, us, cost = carry
+            xs, us, cost = iteration(x0, xs, us, cost)
+            return (xs, us, cost), cost
+
+        (xs, us, cost), trace = jax.lax.scan(
+            body, (xs, us, cost), None, length=cfg.n_iters
+        )
+        return xs, us, cost, trace
+
+    return rollout0, derivs, backward, linesearch, iteration, solve_fused
 
 
 _PIECES_CACHE = {}
@@ -211,19 +371,22 @@ def ilqr_solve(
     """
     if cost_final is None:
         cost_final = _zero_final
-    rollout0, derivs, backward, linesearch = _pieces(
+    rollout0, derivs, backward, linesearch, iteration, solve_fused = _pieces(
         model, cfg, state0, cost_xu, cost_final, u_init.dtype
     )
     x0 = flatten_state(state0)
+    if cfg.fused_solve and cfg.fd_linearize:
+        xs, us, cost, trace = solve_fused(x0, u_init)
+        return ILQRResult(us=us, xs=xs, cost=cost, cost_trace=trace)
     xs, cost = rollout0(x0, u_init)
     us = u_init
-    trace = []
+    costs = []
     for _ in range(cfg.n_iters):
-        ks, Ks = backward(*derivs(xs, us))
-        xs_c, us_c, cost_c = linesearch(x0, xs, us, ks, Ks)
-        if bool(cost_c < cost):
-            xs, us, cost = xs_c, us_c, cost_c
-        trace.append(float(cost))
+        # no host sync inside the loop: iterations dispatch asynchronously
+        # and pipeline behind each other
+        xs, us, cost = iteration(x0, xs, us, cost)
+        costs.append(cost)
+    trace = [float(c) for c in costs]
     return ILQRResult(
         us=us, xs=xs, cost=cost, cost_trace=jnp.asarray(trace, dtype=u_init.dtype)
     )

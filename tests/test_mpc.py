@@ -138,6 +138,134 @@ def test_ilqr_cost_monotone_decrease():
     assert not np.any(np.isnan(np.asarray(result.us)))
 
 
+def test_ilqr_fd_linearization_matches_jacfwd():
+    """Gradient-path parity (VERDICT r1 item 3): the branch-consistent
+    finite-difference A/B through the fast path must match vmap(jacfwd) of
+    the oracle path on smooth dynamics."""
+    from gym_kmanip_tpu.solvers.ilqr import (
+        ILQRConfig, _pieces, _zero_final, flatten_state, unflatten_state,
+    )
+
+    tiny = _tiny_model()
+    sim0 = init_state(tiny)
+
+    def cost_xu(x, u):
+        s = unflatten_state(tiny, x, sim0)
+        return 10.0 * jnp.sum(s.qpos**2) + 1e-2 * jnp.sum(u**2)
+
+    H = 6
+    cfg_fd = ILQRConfig(horizon=H, n_iters=1, contact=False)
+    cfg_jac = ILQRConfig(
+        horizon=H, n_iters=1, contact=False,
+        fd_linearize=False, pallas_backward=False, fast_rollouts=False,
+    )
+    pf = _pieces(tiny, cfg_fd, sim0, cost_xu, _zero_final, jnp.float32)
+    pj = _pieces(tiny, cfg_jac, sim0, cost_xu, _zero_final, jnp.float32)
+    x0 = flatten_state(sim0)
+    us = jnp.full((H, tiny.nu), 0.1, dtype=jnp.float32)
+    xs, _ = pj[0](x0, us)
+    A_fd, B_fd = pf[1](xs, us)[:2]
+    A_j, B_j = pj[1](xs, us)[:2]
+    scale = float(jnp.abs(A_j).max())
+    assert float(jnp.abs(A_fd - A_j).max()) < 5e-3 * scale
+    assert float(jnp.abs(B_fd - B_j).max()) < 5e-3 * float(jnp.abs(B_j).max())
+
+
+def test_riccati_pallas_kernel_matches_serial_sweep():
+    """The fused Pallas Riccati kernel (interpret mode = CPU oracle) must
+    reproduce the serial lax.scan backward sweep on a well-conditioned
+    LQR problem."""
+    from gym_kmanip_tpu.ops.pallas_riccati import riccati_sweep_pallas
+
+    rng = np.random.RandomState(3)
+    H, n, m = 12, 7, 3
+    A = jnp.asarray(0.1 * rng.randn(H, n, n) + np.eye(n), dtype=jnp.float32)
+    B = jnp.asarray(0.3 * rng.randn(H, n, m), dtype=jnp.float32)
+    cx = jnp.asarray(rng.randn(H, n), dtype=jnp.float32)
+    cu = jnp.asarray(rng.randn(H, m), dtype=jnp.float32)
+    W = rng.randn(H, n, n)
+    cxx = jnp.asarray(0.1 * (W @ W.transpose(0, 2, 1)) + np.eye(n), dtype=jnp.float32)
+    Wu = rng.randn(H, m, m)
+    cuu = jnp.asarray(0.1 * (Wu @ Wu.transpose(0, 2, 1)) + np.eye(m), dtype=jnp.float32)
+    cux = jnp.asarray(0.1 * rng.randn(H, m, n), dtype=jnp.float32)
+    VxT = jnp.asarray(rng.randn(n), dtype=jnp.float32)
+    Wt = rng.randn(n, n)
+    VxxT = jnp.asarray(0.1 * (Wt @ Wt.T) + np.eye(n), dtype=jnp.float32)
+    reg = 1e-6
+
+    def serial(A, B, cx, cu, cxx, cuu, cux, VxT, VxxT):
+        eye_u = jnp.eye(m, dtype=jnp.float32)
+
+        def step(carry, inp):
+            Vx, Vxx = carry
+            A_t, B_t, cx_t, cu_t, cxx_t, cuu_t, cux_t = inp
+            Qx = cx_t + A_t.T @ Vx
+            Qu = cu_t + B_t.T @ Vx
+            Qxx = cxx_t + A_t.T @ Vxx @ A_t
+            Quu = cuu_t + B_t.T @ Vxx @ B_t + reg * eye_u
+            Qux = cux_t + B_t.T @ Vxx @ A_t
+            Quu = 0.5 * (Quu + Quu.T)
+            Kk = -jnp.linalg.solve(
+                Quu, jnp.concatenate([Qu[:, None], Qux], axis=1)
+            )
+            kff, K = Kk[:, 0], Kk[:, 1:]
+            Vx_n = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
+            Vxx_n = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+            return (Vx_n, 0.5 * (Vxx_n + Vxx_n.T)), (kff, K)
+
+        (_, _), (ks, Ks) = jax.lax.scan(
+            step, (VxT, VxxT), (A, B, cx, cu, cxx, cuu, cux), reverse=True
+        )
+        return ks, Ks
+
+    ks_s, Ks_s = jax.jit(serial)(A, B, cx, cu, cxx, cuu, cux, VxT, VxxT)
+    ks_p, Ks_p = riccati_sweep_pallas(
+        A, B, cx, cu, cxx, cuu, cux, VxT, VxxT, reg, interpret=True
+    )
+    # the kernel's Gershgorin-adaptive lift perturbs gains by ~1e-4
+    # relative on PD problems; beyond that the sweeps must agree
+    np.testing.assert_allclose(np.asarray(ks_p), np.asarray(ks_s), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(Ks_p), np.asarray(Ks_s), atol=5e-3)
+
+
+def test_ilqr_fast_paths_descend_like_oracle():
+    """The production config (FD linearize + fused forward + fused solve)
+    must reach a final cost comparable to the jacfwd oracle config."""
+    from gym_kmanip_tpu.solvers.ilqr import ILQRConfig, ilqr_solve, unflatten_state
+
+    tiny = _tiny_model()
+    sim0 = init_state(tiny)
+
+    def cost_xu(x, u):
+        s = unflatten_state(tiny, x, sim0)
+        xp, xq, _ = kin.fk(tiny, s.qpos)
+        ee, _ = kin.site_pose(tiny, xp, xq, "eer_site")
+        goal = jnp.asarray([0.15, 0.0, 0.35])
+        return (
+            100.0 * jnp.sum((ee - goal) ** 2)
+            + 0.01 * jnp.sum(s.qvel**2)
+            + 1e-3 * jnp.sum(u**2)
+        )
+
+    u_init = jnp.zeros((8, tiny.nu), dtype=jnp.float32)
+    r_fast = ilqr_solve(
+        tiny, ILQRConfig(horizon=8, n_iters=4, contact=False),
+        sim0, u_init, cost_xu,
+    )
+    r_oracle = ilqr_solve(
+        tiny,
+        ILQRConfig(
+            horizon=8, n_iters=4, contact=False,
+            fd_linearize=False, pallas_backward=False, fast_rollouts=False,
+        ),
+        sim0, u_init, cost_xu,
+    )
+    trace = np.asarray(r_fast.cost_trace)
+    assert np.all(np.diff(trace) <= 1e-5)  # monotone
+    assert not np.any(np.isnan(np.asarray(r_fast.us)))
+    assert float(r_fast.cost) <= 1.1 * float(r_oracle.cost) + 1e-3
+
+
 def test_ilqr_parallel_backward_matches_serial():
     from gym_kmanip_tpu.solvers.ilqr import ILQRConfig, ilqr_solve, unflatten_state
 
