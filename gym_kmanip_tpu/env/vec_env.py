@@ -30,15 +30,25 @@ from gym_kmanip_tpu.models import get_model
 
 
 class KManipVecEnv:
-    def __init__(self, env_id: str, num_envs: int, seed: int = 0):
+    def __init__(
+        self,
+        env_id: str,
+        num_envs: int,
+        seed: int = 0,
+        render_hw: Optional[Tuple[int, int]] = None,
+    ):
+        """Vision envs render on-device too: each camera in cfg.obs_list is
+        vmapped over the env batch inside the same jitted step (the
+        raycaster is pure JAX). `render_hw` overrides the Cam spec
+        resolution (RL from pixels usually wants 64-128 px, not the
+        logging resolution)."""
         if env_id not in CONFIGS:
             raise KeyError(f"unknown env id {env_id}; one of {list(CONFIGS)}")
         self.cfg: EnvConfig = CONFIGS[env_id]
-        if any("camera" in o for o in self.cfg.obs_list):
-            raise ValueError(
-                "KManipVecEnv supports state-obs envs; use the Vision envs "
-                "through the single-env API or render externally"
-            )
+        self.cameras = [
+            k.CAMERAS[o.split("/")[-1]] for o in self.cfg.obs_list if "camera" in o
+        ]
+        self.render_hw = render_hw
         self.num_envs = num_envs
         self.model = get_model(self.cfg.mjcf_filename)
         self._rng = jax.random.PRNGKey(seed)
@@ -74,17 +84,37 @@ class KManipVecEnv:
             obs = _observe(model, cfg, state)
             return state, obs, reward, truncated, steps
 
+        cameras, render_hw_l = self.cameras, render_hw
+
+        def cam_obs(states) -> Dict[str, jax.Array]:
+            from gym_kmanip_tpu.render.raycast import render_camera
+
+            out = {}
+            for cam in cameras:
+                h, w = render_hw_l if render_hw_l is not None else (cam.h, cam.w)
+                out[cam.log_name] = jax.vmap(
+                    lambda s: render_camera(
+                        model, cam.name, s.qpos, s.cube_pos, s.cube_quat, h, w
+                    )
+                )(states)
+            return out
+
         @jax.jit
         def reset_all(key):
             keys = jax.random.split(key, num_envs)
             states = jax.vmap(reset_one)(keys)
             obs = jax.vmap(partial(_observe, model, cfg))(states)
+            obs.update(cam_obs(states))
             return states, obs
 
         @jax.jit
         def step_all(states, actions, steps, key):
             keys = jax.random.split(key, num_envs)
-            return jax.vmap(step_one)(states, actions, steps, keys)
+            states, obs, reward, truncated, steps = jax.vmap(step_one)(
+                states, actions, steps, keys
+            )
+            obs.update(cam_obs(states))
+            return states, obs, reward, truncated, steps
 
         self._reset_all = reset_all
         self._step_all = step_all

@@ -74,16 +74,30 @@ def fit_distance_cost(
     n_steps: int = 200,
     height: int = 40,
     width: int = 60,
+    cam_name: str = "grip_r",
+    around_home: float = 0.5,
 ) -> Any:
     """Self-supervised pre-training: regress the true EE-cube distance from
     rendered frames over random robot/cube configurations, so the learned
-    cost decreases as the gripper approaches the cube."""
+    cost decreases as the gripper approaches the cube.
+
+    `around_home` restricts the joint sampling to home +- that many
+    radians (clipped to the ranges): a CNN fit on full-range poses
+    regresses the global distance scale but collapses to the mean inside
+    the cm-scale regime MPC actually operates in (measured: constant
+    cost along a displaced->home sweep); fitting on the operative
+    distribution is what makes the learned cost resolve it. Pass None
+    for the full joint range."""
     import optax
 
     from gym_kmanip_tpu.ops import kinematics as kin
 
     lo = jnp.asarray(model.jnt_range[:, 0].clip(-3.14), dtype=jnp.float32)
     hi = jnp.asarray(model.jnt_range[:, 1].clip(max=3.14), dtype=jnp.float32)
+    if around_home is not None:
+        home = jnp.asarray(model.home_qpos, dtype=jnp.float32)
+        lo = jnp.maximum(lo, home - around_home)
+        hi = jnp.minimum(hi, home + around_home)
     spawn = jnp.asarray(k.CUBE_SPAWN_RANGE, dtype=jnp.float32)
 
     rng, k1, k2, k3 = jax.random.split(rng, 4)
@@ -96,7 +110,7 @@ def fit_distance_cost(
     @jax.jit
     @jax.vmap
     def make_example(q, cube):
-        img = render_camera(model, "grip_r", q, cube, cube_quat[0], height, width)
+        img = render_camera(model, cam_name, q, cube, cube_quat[0], height, width)
         xp, xq, _ = kin.fk(model, q)
         ee, _ = kin.site_pose(model, xp, xq, "eer_site")
         return img.astype(jnp.float32) / 255.0, jnp.linalg.norm(ee - cube)
@@ -105,7 +119,15 @@ def fit_distance_cost(
 
     net = CostCNN()
     params = net.init(k3, imgs[0])
-    tx = optax.adam(1e-3)
+    # the distance signal lives in a few pixels (the cube/EE are ~2-4 px
+    # from the top camera): a flat 1e-3 adam plateaus at the constant-mean
+    # predictor, while a hot start overshoots once the batch is memorized
+    # — a decaying schedule gets through the plateau and then anneals
+    tx = optax.adam(
+        optax.exponential_decay(
+            3e-3, transition_steps=max(n_steps // 4, 1), decay_rate=0.5
+        )
+    )
     opt = tx.init(params)
 
     @jax.jit

@@ -9,11 +9,14 @@ uint8 frames (Cam specs, reference __init__.py:143-161) -- and that the
 pixels actually reflect the simulated world state.
 
 Scene approximation: floor plane, tabletop box, the free cube (oriented
-box), robot links as spheres at joint frames, fingertip spheres. One ray per
-pixel, closest-hit over the static primitive list, Lambertian shading under
-the scene's three directional lights (scene.xml:5-7). Fully jit/vmap-able:
-a (h*w, n_primitives) intersection matrix that XLA tiles cleanly; rollout
-batches can vmap over world state for learned-cost MPC with vision.
+box), robot links as CAPSULES spanning each child-parent joint segment of
+the kinematic tree (radius by actuator class) plus joint spheres at the
+frames, fingertip spheres. One ray per pixel, closest-hit over the static
+primitive list, Lambertian shading under the scene's three directional
+lights (scene.xml:5-7). Fully jit/vmap-able: a (h*w, n_primitives)
+intersection matrix that XLA tiles cleanly; rollout batches vmap over
+world state for learned-cost MPC with vision (env/vec_env.py batches the
+same renderer for on-device RL from pixels).
 """
 
 from functools import partial
@@ -47,6 +50,10 @@ _LINK_COLOR = np.array([0.55, 0.57, 0.60], dtype=np.float32)
 _TIP_COLOR = np.array([0.25, 0.25, 0.28], dtype=np.float32)
 
 _LINK_RADIUS = 0.035
+# capsule radius per actuator class (visual approximation of the link
+# bodies between consecutive joint frames)
+_CAPSULE_RADIUS = {"x8": 0.045, "x6": 0.038, "x4": 0.030, "slider": 0.012,
+                   "head": 0.035}
 
 _TABLE_CENTER = np.array(
     [k.TABLE_POS[0], k.TABLE_POS[1], (k.TABLE_TOP_Z + 0.5) / 2.0], dtype=np.float32
@@ -68,6 +75,41 @@ def _ray_spheres(o, d, centers, radii):
     t = jnp.where((disc > 0) & (t > 1e-4), t, _BIG)
     hitp = o[:, None, :] + t[..., None] * d[:, None, :]
     n = (hitp - centers[None, :, :]) / jnp.maximum(radii[None, :, None], 1e-9)
+    return t, n
+
+
+def _ray_capsules(o, d, pa, pb, radii):
+    """Batched ray-capsule (cylinder body + spherical caps).
+    o,d: (P,3); pa,pb: (C,3) segment ends; radii: (C,).
+    Returns (t, normal): (P,C), (P,C,3)."""
+    ba = pb - pa  # (C,3)
+    oa = o[:, None, :] - pa[None, :, :]  # (P,C,3)
+    baba = jnp.maximum(jnp.sum(ba * ba, axis=-1), 1e-12)  # (C,)
+    bard = jnp.einsum("ck,pk->pc", ba, d)  # (P,C)
+    baoa = jnp.einsum("ck,pck->pc", ba, oa)
+    rdoa = jnp.einsum("pk,pck->pc", d, oa)
+    oaoa = jnp.sum(oa * oa, axis=-1)
+    a2 = baba[None, :] - bard * bard
+    b2 = baba[None, :] * rdoa - baoa * bard
+    c2 = baba[None, :] * oaoa - baoa * baoa - radii[None, :] ** 2 * baba[None, :]
+    h = b2 * b2 - a2 * c2
+    a2s = jnp.where(jnp.abs(a2) < 1e-9, 1e-9, a2)
+    t_cyl = (-b2 - jnp.sqrt(jnp.maximum(h, 0.0))) / a2s
+    y = baoa + t_cyl * bard  # axial coord * baba
+    body_ok = (h > 0) & (t_cyl > 1e-4) & (y > 0) & (y < baba[None, :])
+    t_cyl = jnp.where(body_ok, t_cyl, _BIG)
+    # spherical caps
+    t_a, _ = _ray_spheres(o, d, pa, radii)
+    t_b, _ = _ray_spheres(o, d, pb, radii)
+    t = jnp.minimum(t_cyl, jnp.minimum(t_a, t_b))
+    hitp = o[:, None, :] + t[..., None] * d[:, None, :]
+    # normal: from the closest point on the segment axis
+    s = jnp.clip(
+        jnp.einsum("ck,pck->pc", ba, hitp - pa[None, :, :]) / baba[None, :],
+        0.0, 1.0,
+    )
+    axis_pt = pa[None, :, :] + s[..., None] * ba[None, :, :]
+    n = (hitp - axis_pt) / jnp.maximum(radii[None, :, None], 1e-9)
     return t, n
 
 
@@ -189,6 +231,28 @@ def render_camera(
         ]
     )
 
+    # link capsules along the kinematic tree (child joint frame -> parent
+    # joint frame), radius by actuator class
+    from gym_kmanip_tpu.models.spec import _mass_class
+
+    cap_pairs = [
+        (int(model.parent[i]), i)
+        for i in range(model.nq)
+        if int(model.parent[i]) >= 0
+    ]
+    if cap_pairs:
+        pa = xpos[jnp.asarray([p for p, _ in cap_pairs])]
+        pb = xpos[jnp.asarray([i for _, i in cap_pairs])]
+        cap_radii = jnp.asarray(
+            [_CAPSULE_RADIUS[_mass_class(model.joint_names[i])]
+             for _, i in cap_pairs],
+            dtype=dt,
+        )
+        t_cap, n_cap = _ray_capsules(o, d, pa, pb, cap_radii)  # (P,C)
+    else:
+        t_cap = jnp.full((P, 0), _BIG, dtype=dt)
+        n_cap = jnp.zeros((P, 0, 3), dtype=dt)
+
     t_sph, n_sph = _ray_spheres(o, d, sph_centers, sph_radii)  # (P,S)
     t_cube, n_cube = _ray_box(
         o, d, cube_pos, rot.quat_to_mat(cube_quat), jnp.full((3,), k.CUBE_HALF_SIZE, dtype=dt)
@@ -201,8 +265,9 @@ def render_camera(
 
     # closest-hit resolution
     t_all = jnp.concatenate(
-        [t_sph, t_cube[:, None], t_table[:, None], t_floor[:, None]], axis=1
-    )  # (P, S+3)
+        [t_cap, t_sph, t_cube[:, None], t_table[:, None], t_floor[:, None]],
+        axis=1,
+    )  # (P, C+S+3)
     idx = jnp.argmin(t_all, axis=1)
     t_best = jnp.min(t_all, axis=1)
     S = sph_centers.shape[0]
@@ -218,9 +283,12 @@ def render_camera(
         + (1 - checker[:, None]) * jnp.asarray(_FLOOR_B, dtype=dt)
     )
 
+    c_cap = _shade(n_cap, jnp.asarray(_LINK_COLOR, dtype=dt)[None, None, :])
     c_all = jnp.concatenate(
-        [c_sph, c_cube[:, None, :], c_table[:, None, :], c_floor[:, None, :]], axis=1
-    )  # (P, S+3, 3)
+        [c_cap, c_sph, c_cube[:, None, :], c_table[:, None, :],
+         c_floor[:, None, :]],
+        axis=1,
+    )  # (P, C+S+3, 3)
     color = jnp.take_along_axis(c_all, idx[:, None, None], axis=1)[:, 0, :]
     color = jnp.where(t_best[:, None] >= _BIG, jnp.asarray(_SKY, dtype=dt), color)
 

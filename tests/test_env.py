@@ -35,10 +35,13 @@ def test_env_checker(env_name):
     env.close()
 
 
-@pytest.mark.parametrize("env_name", ["KManipSoloArmVision"])
+@pytest.mark.parametrize("env_name", VISION_ENV_NAMES)
 def test_vision_env_checker(env_name):
+    """Full gymnasium conformance INCLUDING the render check (the
+    reference's test runs check_env unskipped, tests/test_env.py:21-23) for
+    every Vision morphology."""
     env = gym.make(env_name)
-    check_env(env.unwrapped, skip_render_check=True)
+    check_env(env.unwrapped)
     env.close()
 
 
