@@ -21,6 +21,7 @@ north-star bars noted per metric.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -145,10 +146,56 @@ def substep_flops(model):
         return 0.0
 
 
+def ilqr_rate():
+    """Fused single-dispatch iLQR (torso H=100, n_iters=10): solves/s.
+    vs the 50 Hz real-time bar; r1 measured 0.33 s/solve (3 Hz)."""
+    from gym_kmanip_tpu.ops import kinematics as kin
+    from gym_kmanip_tpu.solvers.ilqr import (
+        ILQRConfig, ilqr_solve, unflatten_state,
+    )
+
+    model = get_model("torso")
+    state0 = init_state(model)
+    xp, xq, _ = kin.fk(model, state0.qpos)
+    p, _ = kin.site_pose(model, xp, xq, "eer_site")
+    goal = p + jnp.asarray([0.0, 0.05, -0.05])
+
+    def cost_xu(x, u):
+        s = unflatten_state(model, x, state0)
+        xp2, xq2, _ = kin.fk(model, s.qpos)
+        pp, _ = kin.site_pose(model, xp2, xq2, "eer_site")
+        return (
+            50.0 * jnp.sum((pp - goal) ** 2)
+            + 0.01 * jnp.sum(s.qvel**2)
+            + 0.001 * jnp.sum(u**2)
+        )
+
+    H = 100
+    cfg = ILQRConfig(horizon=H, n_iters=10, contact=False)
+    us = jnp.tile(
+        jnp.asarray(model.home_qpos[: model.nu], dtype=jnp.float32), (H, 1)
+    )
+    r = ilqr_solve(model, cfg, state0, us, cost_xu)  # compile (~90 s)
+    jax.block_until_ready(r.us)
+    n = 5
+    t0 = time.time()
+    for _ in range(n):
+        r = ilqr_solve(model, cfg, state0, us, cost_xu)
+    jax.block_until_ready(r.us)
+    return n / (time.time() - t0)
+
+
 def main():
     model = get_model("solo_arm")
     params = CostParams()
     cost_fn = lambda s, aux, u: cube_pick_cost(model, s, aux, u, params)
+
+    # the fused iLQR solve's one-time compile is minutes cold through the
+    # AOT tunnel — opt-in so it can never sink the headline metrics
+    # (tools/bench_suite.py carries the iLQR timing by default)
+    if os.environ.get("BENCH_ILQR"):
+        rate = ilqr_rate()
+        _emit("ilqr_solves_per_sec_torso_H100_10iter", rate, "solves/s", rate / 50.0)
 
     cl_hz = closed_loop(model)
     _emit("closed_loop_mpc_hz_H20_K256_fullfidelity", cl_hz, "Hz", cl_hz / 50.0)
