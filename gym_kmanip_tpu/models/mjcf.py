@@ -43,17 +43,43 @@ from numpy.typing import NDArray
 from gym_kmanip_tpu.models.spec import RobotModel, build_model, quat_from_euler_xyz_np
 
 
+def _quat_mul_np(a: NDArray, b: NDArray) -> NDArray:
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def _quat_rotate_np(q: NDArray, v: NDArray) -> NDArray:
+    w, x, y, z = q
+    u = np.array([x, y, z])
+    return v + 2.0 * np.cross(u, np.cross(u, v) + w * v)
+
+
 def _parse_vec(s: Optional[str], default):
     if s is None:
         return np.asarray(default, dtype=np.float64)
     return np.asarray([float(x) for x in s.split()], dtype=np.float64)
 
 
-def _body_frame(body: ET.Element) -> Tuple[NDArray, NDArray]:
+def _body_frame(
+    body: ET.Element, normalize: bool = True
+) -> Tuple[NDArray, NDArray]:
+    """`normalize=False` keeps the quat exactly as written — the site
+    markers of the shipped assets round-trip the built-in models' RAW
+    (deliberately unnormalized, reference-transcribed) site quats
+    bit-exactly, which the TRF-IK env-parity contract depends on."""
     pos = _parse_vec(body.get("pos"), (0.0, 0, 0))
     if body.get("quat") is not None:
         quat = _parse_vec(body.get("quat"), (1.0, 0, 0, 0))
-        quat = quat / np.linalg.norm(quat)
+        if normalize:
+            quat = quat / np.linalg.norm(quat)
     elif body.get("euler") is not None:
         quat = quat_from_euler_xyz_np(_parse_vec(body.get("euler"), (0.0, 0, 0)))
     else:
@@ -122,7 +148,10 @@ def load_mjcf(
             mocap_quat.append(q)
             return
         bname = body.get("name", "")
-        p, q = _body_frame(body)
+        # frames carry RAW quats; normalization happens inside the
+        # multi-frame compose below (single precomposed frames — the
+        # shipped assets — pass through bit-exactly)
+        p, q = _body_frame(body, normalize=False)
         my_frames = frames + [(p, q)]
 
         jel = body.find("joint")
@@ -138,10 +167,30 @@ def load_mjcf(
                 "(true for all Stompy MJCFs)"
             )
             idx = len(joints)
+            # Compose the body-frame chain here in float64 numpy and hand
+            # build_model the finished transform. A single frame (the
+            # shipped assets: one body per joint carrying the precomposed
+            # transform) passes through BIT-exactly — no rotation by
+            # identity, no re-normalization — which the TRF-IK env-parity
+            # contract requires; multi-frame chains (reference trees with
+            # intermediate jointless bodies) normalize at the end like
+            # spec._compose.
+            if len(my_frames) == 1:
+                jp = np.asarray(my_frames[0][0], dtype=np.float64)
+                jq = np.asarray(my_frames[0][1], dtype=np.float64)
+            else:
+                jp, jq = np.zeros(3), np.array([1.0, 0, 0, 0])
+                for fp, fq in my_frames:
+                    fq = np.asarray(fq, dtype=np.float64)
+                    fq = fq / np.linalg.norm(fq)
+                    jp = jp + _quat_rotate_np(jq, np.asarray(fp, dtype=np.float64))
+                    jq = _quat_mul_np(jq, fq)
+                jq = jq / np.linalg.norm(jq)
             jrec = dict(
                 name=jel.get("name", f"joint_{idx}"),
                 parent=parent_joint,
-                frames=my_frames,
+                pos=jp,
+                quat=jq,
                 type=jel.get("type", "hinge"),
                 range=tuple(_parse_vec(jel.get("range"), (0.0, 0.0))),
                 frictionloss=float(jel.get("frictionloss", 0.0)),
@@ -172,15 +221,19 @@ def load_mjcf(
                     )
                 )
 
-        # EE marker bodies ("eer_site"/"eel_site" with a site inside)
+        # EE marker bodies ("eer_site"/"eel_site" with a site inside);
+        # composed in float64 numpy — the shipped assets round-trip the
+        # built-in models BIT-exactly (tools/gen_assets.py), which the
+        # TRF-IK env-parity contract depends on
         if bname in _EE_SITE_BODIES:
-            cp, cq = np.zeros(3), np.array([1.0, 0, 0, 0])
-            for fp, fq in my_frames:
-                from gym_kmanip_tpu.utils import rotations as rot
-                import jax.numpy as jnp
-
-                cp = cp + np.asarray(rot.quat_rotate(jnp.array(cq), jnp.array(fp)))
-                cq = np.asarray(rot.quat_mul(jnp.array(cq), jnp.array(fq)))
+            if len(my_frames) == 1:
+                cp = np.asarray(my_frames[0][0], dtype=np.float64)
+                cq = np.asarray(my_frames[0][1], dtype=np.float64)
+            else:
+                cp, cq = np.zeros(3), np.array([1.0, 0, 0, 0])
+                for fp, fq in my_frames:
+                    cp = cp + _quat_rotate_np(cq, np.asarray(fp, dtype=np.float64))
+                    cq = _quat_mul_np(cq, np.asarray(fq, dtype=np.float64))
             sites.append(dict(name=bname, parent=parent_joint, pos=cp, quat=cq))
 
         for cam in body.findall("camera"):

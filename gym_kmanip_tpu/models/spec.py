@@ -178,7 +178,12 @@ def build_model(
     jnt_pos = np.zeros((nq, 3))
     jnt_quat = np.zeros((nq, 4))
     for i, j in enumerate(joints):
-        p, q = _compose(j["frames"])
+        if "pos" in j and "quat" in j:
+            # precomposed transform (the MJCF loader composes in float64
+            # and single-frame shipped assets must pass through bit-exact)
+            p, q = j["pos"], j["quat"]
+        else:
+            p, q = _compose(j["frames"])
         jnt_pos[i] = p
         jnt_quat[i] = q
     jnt_type = np.array(

@@ -38,8 +38,13 @@ OUT_DIR = os.path.join(
 
 
 def _fmt(x) -> str:
+    # %.17g: bit-exact float64 round trip. The env-parity contract depends
+    # on it — the IK is an exact scipy-TRF replica whose iterate path (and
+    # therefore the recorded golden traces) is sensitive to model values at
+    # the last bit; 9 significant digits drifted solo/dual parity from
+    # ~8e-4 rad to 0.68.
     arr = np.atleast_1d(np.asarray(x, dtype=np.float64))
-    return " ".join(f"{float(v):.9g}" for v in arr)
+    return " ".join(f"{float(v):.17g}" for v in arr)
 
 
 def _scene(world: ET.Element, model) -> None:
@@ -188,14 +193,20 @@ def main():
         path = os.path.join(OUT_DIR, f"{name}.xml")
         with open(path, "w") as f:
             f.write(xml)
-        # round-trip verification through the loader
+        # round-trip verification through the loader: BIT-exact (see _fmt)
         loaded = load_mjcf(path, name=name)
         assert loaded.nq == model.nq and loaded.nu == model.nu, name
-        np.testing.assert_allclose(loaded.jnt_pos, model.jnt_pos, atol=1e-12)
-        np.testing.assert_allclose(loaded.jnt_quat, model.jnt_quat, atol=1e-9)
-        np.testing.assert_allclose(loaded.home_qpos, model.home_qpos, atol=1e-12)
-        np.testing.assert_allclose(loaded.body_mass, model.body_mass, atol=1e-12)
-        np.testing.assert_allclose(loaded.armature, model.armature, atol=1e-12)
+        np.testing.assert_array_equal(loaded.jnt_pos, model.jnt_pos)
+        np.testing.assert_array_equal(loaded.jnt_quat, model.jnt_quat)
+        np.testing.assert_array_equal(loaded.home_qpos, model.home_qpos)
+        np.testing.assert_array_equal(loaded.body_mass, model.body_mass)
+        np.testing.assert_array_equal(loaded.body_com, model.body_com)
+        np.testing.assert_array_equal(loaded.body_inertia, model.body_inertia)
+        np.testing.assert_array_equal(loaded.armature, model.armature)
+        np.testing.assert_array_equal(loaded.jnt_range, model.jnt_range)
+        for s in model.sites:
+            np.testing.assert_array_equal(loaded.site(s.name).pos, s.pos)
+            np.testing.assert_array_equal(loaded.site(s.name).quat, s.quat)
         assert loaded.joint_names == model.joint_names, name
         print(f"wrote {path}: nq={model.nq} nu={model.nu}, round-trip OK")
         try:
