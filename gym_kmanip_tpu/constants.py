@@ -215,32 +215,110 @@ XYZW_2_WXYZ: NDArray = np.array([3, 0, 1, 2])
 WXYZ_2_XYZW: NDArray = np.array([1, 2, 3, 0])
 
 # MuJoCo <-> Vuer frame conversions for VR teleop (reference
-# gym_kmanip/__init__.py:214-241). Host-side utilities (scipy Rotation);
-# the device-side math lives in utils/rotations.py.
-from scipy.spatial.transform import Rotation as R  # noqa: E402
+# gym_kmanip/__init__.py:214-241). Host-side numpy-only utilities (the
+# reference routes these through scipy Rotation; re-implemented with plain
+# rotation matrices so the core package has no scipy runtime dependency —
+# outputs verified identical to the scipy path, tests/test_teleop.py); the
+# device-side math lives in utils/rotations.py.
 
-MJ_TO_VUER_ROT: "R" = R.from_euler("z", np.pi) * R.from_euler("x", np.pi / 2)
-VUER_TO_MJ_ROT: "R" = MJ_TO_VUER_ROT.inv()
+
+def _np_quat_xyzw_to_mat(q: NDArray) -> NDArray:
+    x, y, z, w = np.asarray(q, dtype=np.float64) / np.linalg.norm(q)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _np_mat_to_quat_xyzw(m: NDArray) -> NDArray:
+    """Shepperd's method with scipy's exact (non-canonical) sign rule: the
+    component picked by argmax([m00, m11, m22, trace]) takes the positive
+    square root — byte-parity with Rotation.as_quat() so the reference's
+    vuer2mj_orn outputs match including sign."""
+    t = float(np.trace(m))
+    choice = int(np.argmax([m[0, 0], m[1, 1], m[2, 2], t]))
+    if choice == 3:
+        w = 0.5 * np.sqrt(1.0 + t)
+        s = 0.25 / w
+        return np.array([(m[2, 1] - m[1, 2]) * s, (m[0, 2] - m[2, 0]) * s,
+                         (m[1, 0] - m[0, 1]) * s, w])
+    i = choice
+    j, kk = (i + 1) % 3, (i + 2) % 3
+    xi = 0.5 * np.sqrt(max(1.0 + m[i, i] - m[j, j] - m[kk, kk], 0.0))
+    s = 0.25 / xi
+    q = np.zeros(4)
+    q[i] = xi
+    q[j] = (m[j, i] + m[i, j]) * s
+    q[kk] = (m[kk, i] + m[i, kk]) * s
+    q[3] = (m[kk, j] - m[j, kk]) * s
+    return q
+
+
+def _np_mat_to_euler_xyz(m: NDArray) -> NDArray:
+    """Extrinsic-xyz euler of M = Rz(c) @ Ry(b) @ Rx(a), scipy-compatible."""
+    b = float(np.arcsin(np.clip(-m[2, 0], -1.0, 1.0)))
+    a = float(np.arctan2(m[2, 1], m[2, 2]))
+    c = float(np.arctan2(m[1, 0], m[0, 0]))
+    return np.array([a, b, c])
+
+
+# Rz(pi) @ Rx(pi/2) (reference MJ_TO_VUER_ROT, __init__.py:214-215)
+MJ_TO_VUER_MAT: NDArray = np.array(
+    [[-1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, 1.0, 0.0]]
+)
+VUER_TO_MJ_MAT: NDArray = MJ_TO_VUER_MAT.T
 
 
 def mj2vuer_pos(pos: NDArray) -> NDArray:
-    return MJ_TO_VUER_ROT.apply(pos)
+    return MJ_TO_VUER_MAT @ np.asarray(pos, dtype=np.float64)
 
 
 def mj2vuer_orn(orn: NDArray, offset: NDArray = None) -> NDArray:
-    rot = R.from_quat(orn[XYZW_2_WXYZ]) * MJ_TO_VUER_ROT
+    """wxyz quat (+ optional wxyz offset quat) -> vuer xyz euler."""
+    m = _np_quat_xyzw_to_mat(np.asarray(orn)[XYZW_2_WXYZ]) @ MJ_TO_VUER_MAT
     if offset is not None:
-        rot = R.from_quat(offset[XYZW_2_WXYZ]) * rot
-    return rot.as_euler("xyz")
+        m = _np_quat_xyzw_to_mat(np.asarray(offset)[XYZW_2_WXYZ]) @ m
+    return _np_mat_to_euler_xyz(m)
 
 
 def vuer2mj_pos(pos: NDArray) -> NDArray:
-    return VUER_TO_MJ_ROT.apply(pos)
+    return VUER_TO_MJ_MAT @ np.asarray(pos, dtype=np.float64)
 
 
-def vuer2mj_orn(orn: "R") -> NDArray:
-    rot = orn * VUER_TO_MJ_ROT
-    return rot.as_quat()[WXYZ_2_XYZW]
+# scipy's internal quaternion for VUER_TO_MJ_ROT (= MJ_TO_VUER_ROT.inv());
+# composing via the Hamilton product reproduces Rotation.__mul__ output
+# including sign, which the reference's as_quat() exposes.
+_VUER_TO_MJ_QUAT_XYZW: NDArray = np.array(
+    [0.0, -np.sqrt(0.5), -np.sqrt(0.5), 0.0]
+)
+
+
+def _np_quat_mul_xyzw(p: NDArray, q: NDArray) -> NDArray:
+    px, py, pz, pw = p
+    qx, qy, qz, qw = q
+    return np.array(
+        [
+            pw * qx + qw * px + py * qz - pz * qy,
+            pw * qy + qw * py + pz * qx - px * qz,
+            pw * qz + qw * pz + px * qy - py * qx,
+            pw * qw - px * qx - py * qy - pz * qz,
+        ]
+    )
+
+
+def vuer2mj_orn(orn) -> NDArray:
+    """Vuer rotation -> quat reordered by WXYZ_2_XYZW (reference
+    __init__.py:239-241 semantics, sign included). Accepts a scipy Rotation
+    (the reference's signature), a 3x3 matrix, or an xyzw quat."""
+    if hasattr(orn, "as_quat"):
+        q_in = np.asarray(orn.as_quat(), dtype=np.float64)
+    else:
+        arr = np.asarray(orn, dtype=np.float64)
+        q_in = _np_mat_to_quat_xyzw(arr) if arr.shape == (3, 3) else arr
+    return _np_quat_mul_xyzw(q_in, _VUER_TO_MJ_QUAT_XYZW)[WXYZ_2_XYZW]
 
 # Vuer teleop
 VUER_IMG_QUALITY: int = 20

@@ -27,6 +27,14 @@ from gym_kmanip_tpu.models import get_model
 from gym_kmanip_tpu.models.spec import RobotModel
 from gym_kmanip_tpu.ops import kinematics as kin
 from gym_kmanip_tpu.solvers.ik import ik_trf
+from gym_kmanip_tpu.solvers.ik_host import ik_trf_host
+
+
+def _ik(cfg):
+    """Reference-parity IK solver for this config: f64 host TRF (exact
+    scipy semantics; the default for the Gym shell) or the f32 on-device
+    TRF (batched/no-callback pipelines). See EnvConfig.ik_host64."""
+    return ik_trf_host if cfg.ik_host64 else ik_trf
 from gym_kmanip_tpu.utils import rotations as rot
 
 # Fix-and-document (SURVEY.md §2.2): the reference's touch/lift reward scans
@@ -97,7 +105,7 @@ def _decode_action(
         mask = tuple(int(i) for i in cfg.q_id_r_mask)
         # scipy-TRF-parity solver: matches the reference's least_squares
         # trajectory (incl. early exits) to <1e-3 rad over 20 steps in f32
-        q_sol, q_scrib = ik_trf(
+        q_sol, q_scrib = _ik(cfg)(
             model, qpos, goal_pos, goal_orn, q_home, qpos,
             q_mask=mask, site_name="eer_site",
         )
@@ -112,7 +120,7 @@ def _decode_action(
         mocap_pos = mocap_pos.at[k.MOCAP_ID_L].set(goal_pos)
         mocap_quat = mocap_quat.at[k.MOCAP_ID_L].set(goal_orn)
         mask = tuple(int(i) for i in cfg.q_id_l_mask)
-        q_sol, q_scrib = ik_trf(
+        q_sol, q_scrib = _ik(cfg)(
             model, qpos, goal_pos, goal_orn, q_home, qpos,
             q_mask=mask, site_name="eel_site",
         )

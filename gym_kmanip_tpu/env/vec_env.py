@@ -44,7 +44,15 @@ class KManipVecEnv:
         logging resolution)."""
         if env_id not in CONFIGS:
             raise KeyError(f"unknown env id {env_id}; one of {list(CONFIGS)}")
-        self.cfg: EnvConfig = CONFIGS[env_id]
+        # batched pipelines keep IK fully on-device (the f32 jittable TRF):
+        # a pure_callback inside the vmapped step would serialize N host
+        # solves per step. Single-env parity keeps the f64 host solver
+        # (EnvConfig.ik_host64).
+        import dataclasses
+
+        self.cfg: EnvConfig = dataclasses.replace(
+            CONFIGS[env_id], ik_host64=False
+        )
         self.cameras = [
             k.CAMERAS[o.split("/")[-1]] for o in self.cfg.obs_list if "camera" in o
         ]
@@ -74,15 +82,21 @@ class KManipVecEnv:
             reward = _reward(model, cfg, state, aux)
             steps = steps + 1
             truncated = steps >= cfg.max_episode_steps
-            # autoreset (gymnasium vector semantics): fresh episode state on
-            # truncation, fresh cube spawn from the per-env key
+            # autoreset (gymnasium 0.29 vector semantics): fresh episode
+            # state on truncation, fresh cube spawn from the per-env key.
+            # The pre-reset state is returned too so step() can surface the
+            # ending episode's true last observation as
+            # info["final_observation"] (value bootstrapping at truncation
+            # needs it; silently substituting the fresh obs was VERDICT r2
+            # weak #9).
+            state_final = state
             fresh = reset_one(key)
             state = jax.tree.map(
                 lambda a, b: jnp.where(truncated, a, b), fresh, state
             )
             steps = jnp.where(truncated, 0, steps)
             obs = _observe(model, cfg, state)
-            return state, obs, reward, truncated, steps
+            return state, state_final, obs, reward, truncated, steps
 
         cameras, render_hw_l = self.cameras, render_hw
 
@@ -110,14 +124,23 @@ class KManipVecEnv:
         @jax.jit
         def step_all(states, actions, steps, key):
             keys = jax.random.split(key, num_envs)
-            states, obs, reward, truncated, steps = jax.vmap(step_one)(
-                states, actions, steps, keys
-            )
+            states, states_final, obs, reward, truncated, steps = jax.vmap(
+                step_one
+            )(states, actions, steps, keys)
             obs.update(cam_obs(states))
-            return states, obs, reward, truncated, steps
+            return states, states_final, obs, reward, truncated, steps
+
+        @jax.jit
+        def observe_all(states):
+            """Full observation (incl. camera renders) of a state batch —
+            only dispatched on truncation steps, for final_observation."""
+            obs = jax.vmap(partial(_observe, model, cfg))(states)
+            obs.update(cam_obs(states))
+            return obs
 
         self._reset_all = reset_all
         self._step_all = step_all
+        self._observe_all = observe_all
         self._states: Optional[SimState] = None
         self._steps = jnp.zeros((num_envs,), dtype=jnp.int32)
 
@@ -138,17 +161,37 @@ class KManipVecEnv:
             for n, v in actions.items()
         }
         self._rng, sub = jax.random.split(self._rng)
-        self._states, obs, reward, truncated, self._steps = self._step_all(
-            self._states, jactions, self._steps, sub
-        )
+        (
+            self._states, states_final, obs, reward, truncated, self._steps,
+        ) = self._step_all(self._states, jactions, self._steps, sub)
         terminated = np.zeros(self.num_envs, dtype=bool)  # TimeLimit-only, like
         # the reference (SURVEY.md §3.3)
+        truncated = np.asarray(truncated)
+        infos: Dict = {}
+        if truncated.any():
+            # gymnasium 0.29 vector convention: per-env object arrays of the
+            # ending episode's last obs/info, masked by "_final_observation".
+            fobs = {
+                n: np.asarray(v)
+                for n, v in self._observe_all(states_final).items()
+            }
+            final_obs = np.full(self.num_envs, None, dtype=object)
+            final_info = np.full(self.num_envs, None, dtype=object)
+            for i in np.flatnonzero(truncated):
+                final_obs[i] = {n: v[i] for n, v in fobs.items()}
+                final_info[i] = {}
+            infos = {
+                "final_observation": final_obs,
+                "_final_observation": truncated.copy(),
+                "final_info": final_info,
+                "_final_info": truncated.copy(),
+            }
         return (
             {n: np.asarray(v) for n, v in obs.items()},
             np.asarray(reward),
             terminated,
-            np.asarray(truncated),
-            {},
+            truncated,
+            infos,
         )
 
     def close(self):

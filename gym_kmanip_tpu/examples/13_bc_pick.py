@@ -1,0 +1,226 @@
+"""One-command data -> train -> eval pipeline with a pick success rate.
+
+Closes the loop the reference only stubbed (its example 6 is marked
+"TODO: WIP - DOES NOT WORK", /root/reference/gym_kmanip/examples/
+6_train_from_dataset.py:1, and example 7 an unadapted copy): this script
+
+  1. RECORDS N expert episodes with the MPPI pick expert (the verified
+     examples/8_mpc_mppi.py recipe: AR(1) exploration, grasp-geometry
+     cost, full-fidelity 10x2 ms rollouts) from randomized cube spawns,
+     written as ACT-layout HDF5 via log/log_h5py (same files example 6
+     trains on) plus an additive `observations/cube_pose` dataset —
+     the pick policy needs the cube, which ACT's qpos/qvel lack;
+  2. TRAINS a behavior-cloning MLP (flax) on (qpos, qvel, cube_pose) ->
+     expert ctrl targets;
+  3. EVALUATES the policy closed-loop against the real plant from fresh
+     spawns and reports `bc_pick_success_rate` (success = the cube ends
+     >= LIFT_DZ above its spawn height) as one JSON line.
+
+Run: python -m gym_kmanip_tpu.examples.13_bc_pick
+Scaled-down CI twin: tests/test_bc_pick.py (slow tier);
+bench row: tools/bench_suite.py bc_bench.
+"""
+
+import json
+import os
+import tempfile
+import time
+from typing import Tuple
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_kmanip_tpu import constants as k
+from gym_kmanip_tpu.dynamics import init_state
+from gym_kmanip_tpu.dynamics.engine import make_control_step
+from gym_kmanip_tpu.log import log_h5py
+from gym_kmanip_tpu.models import get_model
+from gym_kmanip_tpu.mpc.mppi import MPPIConfig, init_mppi, make_mppi_solver
+
+# spawn box around the verified pick spawn (examples/8): BC must cover a
+# neighborhood, not memorize one trajectory
+SPAWN_CENTER = np.array([0.15, 0.58, 0.62])
+SPAWN_HALF = np.array([0.02, 0.02, 0.0])
+LIFT_DZ = 0.04  # success: cube >= 4 cm above spawn height
+
+
+def make_expert(model, n_samples=256, horizon=20, n_iters=2):
+    """The examples/8 MPPI pick expert as a (state) -> ctrl closure."""
+    def cost_fn(s, aux, u):
+        d2 = jnp.sum((aux.tip_pos - s.cube_pos[None, :]) ** 2, axis=-1)
+        touched = aux.touch_r | aux.touch_l
+        return (
+            50.0 * jnp.mean(d2)
+            + 0.01 * jnp.sum(s.qvel**2)
+            - jnp.where(touched, 5.0, 0.0)
+            - jnp.where(touched & ~aux.touch_table, 10.0, 0.0)
+        )
+
+    cfg = MPPIConfig(
+        horizon=horizon, n_samples=n_samples, n_iters=n_iters, sigma=0.15,
+        n_substeps=10, dt=k.PHYSICS_TIMESTEP, noise_beta=0.9,
+    )
+    solver = make_mppi_solver(model, cfg, cost_fn)
+    return solver, init_mppi(model, cfg)
+
+
+def record(data_dir, n_episodes=8, ep_len=100, n_samples=256, seed=0,
+           log=print):
+    """MPPI-expert episodes as ACT hdf5 (+ observations/cube_pose)."""
+    model = get_model("solo_arm")
+    solver, mppi_state0 = make_expert(model, n_samples=n_samples)
+    plant_step = make_control_step(model)
+    rng = np.random.RandomState(seed)
+    os.makedirs(data_dir, exist_ok=True)
+    n_success = 0
+    for ep in range(n_episodes):
+        spawn = SPAWN_CENTER + rng.uniform(-1, 1, 3) * SPAWN_HALF
+        state = init_state(model, cube_pos=spawn)
+        mppi_state = mppi_state0
+        info = dict(sim=True, episode=ep, q_len=model.nq,
+                    act_list=("ctrl",), act_dims={"ctrl": model.nu},
+                    step=0)
+        f = log_h5py.new(data_dir, info)
+        f.create_dataset("observations/cube_pose",
+                         (k.MAX_EPISODE_STEPS * 2, 7))
+        t0 = time.time()
+        lifted = False
+        for t in range(ep_len):
+            mppi_state, u0, J = solver(mppi_state, state)
+            info["step"] = t + 1
+            obs = {
+                "q_pos": np.asarray(state.qpos),
+                "q_vel": np.asarray(state.qvel),
+            }
+            if t < k.MAX_EPISODE_STEPS:  # ACT datasets are sized for the
+                # env's episode cap; longer expert runs keep cube_pose only
+                log_h5py.step(f, {"ctrl": np.asarray(u0)}, obs, info)
+            f["observations/cube_pose"][t] = np.concatenate(
+                [np.asarray(state.cube_pos), np.asarray(state.cube_quat)]
+            )
+            state, aux = plant_step(state, u0)
+            lifted = lifted or float(state.cube_pos[2]) > spawn[2] + LIFT_DZ
+        f.attrs["ep_len"] = min(ep_len, k.MAX_EPISODE_STEPS)
+        f.attrs["expert_lifted"] = lifted
+        log_h5py.end(f)
+        n_success += int(lifted)
+        log(f"episode {ep}: expert lifted={lifted} "
+            f"({time.time() - t0:.1f}s, spawn {spawn.round(3)})")
+    log(f"expert success: {n_success}/{n_episodes}")
+    return n_success / n_episodes
+
+
+def _load(data_dir) -> Tuple[np.ndarray, np.ndarray]:
+    import glob
+
+    xs, ys = [], []
+    for path in sorted(glob.glob(os.path.join(data_dir, "episode_*.hdf5"))):
+        with h5py.File(path, "r") as f:
+            n = int(f.attrs.get("ep_len", f["action"].shape[0]))
+            qpos = f["observations/qpos"][:n]
+            qvel = f["observations/qvel"][:n]
+            cube = f["observations/cube_pose"][:n]
+            act = f["action"][:n]
+            xs.append(np.concatenate([qpos, qvel, cube], axis=1))
+            ys.append(act)
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def train(data_dir, n_steps=3000, batch=256, lr=1e-3, seed=0, log=print):
+    import optax
+    from flax import linen as nn
+
+    model = get_model("solo_arm")
+    X, Y = _load(data_dir)
+    mu, sd = X.mean(0), X.std(0) + 1e-6
+    Xn = (X - mu) / sd
+    lo = model.ctrl_range[:, 0]
+    hi = model.ctrl_range[:, 1]
+    mid, half = (lo + hi) / 2, (hi - lo) / 2
+    Yn = np.clip((Y - mid) / half, -1, 1)
+
+    class MLP(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.tanh(nn.Dense(256)(x))
+            x = nn.tanh(nn.Dense(256)(x))
+            return nn.tanh(nn.Dense(Yn.shape[1])(x))
+
+    net = MLP()
+    key = jax.random.PRNGKey(seed)
+    params = net.init(key, jnp.zeros((1, Xn.shape[1])))
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+    Xj, Yj = jnp.asarray(Xn, jnp.float32), jnp.asarray(Yn, jnp.float32)
+
+    @jax.jit
+    def step(params, opt, key):
+        idx = jax.random.randint(key, (batch,), 0, Xj.shape[0])
+        def loss_fn(p):
+            pred = net.apply(p, Xj[idx])
+            return jnp.mean((pred - Yj[idx]) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt, loss = step(params, opt, sub)
+        if i % max(1, n_steps // 5) == 0:
+            log(f"bc step {i}: loss {float(loss):.5f}")
+
+    stats = dict(mu=mu, sd=sd, mid=mid, half=half)
+
+    def policy(state) -> jnp.ndarray:
+        x = jnp.concatenate(
+            [state.qpos, state.qvel, state.cube_pos, state.cube_quat]
+        )
+        xn = (x - stats["mu"]) / stats["sd"]
+        yn = net.apply(params, xn[None])[0]
+        return yn * stats["half"] + stats["mid"]
+
+    return jax.jit(policy), params, stats
+
+
+def evaluate(policy, n_evals=10, ep_len=120, seed=100, log=print):
+    model = get_model("solo_arm")
+    plant_step = make_control_step(model)
+    rng = np.random.RandomState(seed)
+    n_success = 0
+    for i in range(n_evals):
+        spawn = SPAWN_CENTER + rng.uniform(-1, 1, 3) * SPAWN_HALF
+        state = init_state(model, cube_pos=spawn)
+        lifted = False
+        for t in range(ep_len):
+            u = policy(state)
+            state, aux = plant_step(state, u)
+            lifted = lifted or float(state.cube_pos[2]) > spawn[2] + LIFT_DZ
+        n_success += int(lifted)
+        log(f"eval {i}: lifted={lifted} (spawn {spawn.round(3)})")
+    return n_success / n_evals
+
+
+def run_pipeline(n_episodes=8, ep_len=100, n_samples=256, n_train=3000,
+                 n_evals=10, data_dir=None, log=print):
+    data_dir = data_dir or tempfile.mkdtemp(prefix="kmanip_bc_")
+    expert_rate = record(data_dir, n_episodes=n_episodes, ep_len=ep_len,
+                         n_samples=n_samples, log=log)
+    policy, params, stats = train(data_dir, n_steps=n_train, log=log)
+    rate = evaluate(policy, n_evals=n_evals, ep_len=int(ep_len * 1.2),
+                    log=log)
+    return expert_rate, rate
+
+
+def main():
+    expert_rate, rate = run_pipeline()
+    print(json.dumps({"metric": "mppi_expert_pick_success_rate",
+                      "value": expert_rate, "unit": "fraction",
+                      "vs_baseline": expert_rate}))
+    print(json.dumps({"metric": "bc_pick_success_rate", "value": rate,
+                      "unit": "fraction", "vs_baseline": rate}))
+
+
+if __name__ == "__main__":
+    main()

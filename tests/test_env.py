@@ -35,6 +35,7 @@ def test_env_checker(env_name):
     env.close()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("env_name", VISION_ENV_NAMES)
 def test_vision_env_checker(env_name):
     """Full gymnasium conformance INCLUDING the render check (the

@@ -40,11 +40,32 @@ def test_vec_env_autoreset():
     env = KManipVecEnv("KManipSoloArmQPos", num_envs=2, seed=2)
     obs0 = env.reset()
     acts = _zero_actions(env, 2)
-    for i in range(k.MAX_EPISODE_STEPS):
-        obs, r, term, trunc, _ = env.step(acts)
+    for i in range(k.MAX_EPISODE_STEPS - 1):
+        obs_pre, r, term, trunc, info = env.step(acts)
+        assert not trunc.any() and info == {}
+    obs, r, term, trunc, info = env.step(acts)
     assert trunc.all()  # all envs truncated at the limit...
-    # ...and were auto-reset: fresh episode state, step counters cleared
-    obs, r, term, trunc, _ = env.step(acts)
+    # gymnasium 0.29 vector convention: the ending episode's TRUE last obs
+    # rides in info["final_observation"] (the returned obs is the fresh
+    # episode's), masked by "_final_observation".
+    assert set(info) == {
+        "final_observation", "_final_observation", "final_info", "_final_info",
+    }
+    assert info["_final_observation"].all()
+    for i in range(2):
+        fo = info["final_observation"][i]
+        assert set(fo) == set(obs)
+        # the final obs continues the pre-truncation trajectory (zero
+        # actions => quasi-static): close to the previous step's obs, while
+        # the returned obs comes from a FRESH cube spawn.
+        assert np.abs(fo["q_pos"] - obs_pre["q_pos"][i]).max() < 0.05
+        assert info["final_info"][i] == {}
+    assert np.abs(
+        np.stack([info["final_observation"][i]["cube_pos"] for i in range(2)])
+        - obs["cube_pos"]
+    ).max() > 1e-4  # fresh spawn differs from the ended episode's cube
+    # ...and envs were auto-reset: step counters cleared
+    obs, r, term, trunc, info = env.step(acts)
     assert not trunc.any()
     env.close()
 
@@ -70,6 +91,7 @@ def test_vec_env_vision_renders_batch():
     env.close()
 
 
+@pytest.mark.slow
 def test_vec_ppo_training_runs():
     """The on-device PPO loop (examples/12_train_vec_rl.py) trains over a
     64-env batch: finite losses, params update, rewards finite."""
@@ -88,6 +110,7 @@ def test_vec_ppo_training_runs():
     assert all(np.all(np.isfinite(l)) for l in leaves)
 
 
+@pytest.mark.slow
 def test_vec_ppo_vision_update():
     """One PPO update with the CNN policy on on-device-rendered frames."""
     import importlib

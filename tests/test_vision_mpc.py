@@ -16,6 +16,7 @@ alone", not millimeter station-keeping.
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from gym_kmanip_tpu.dynamics import init_state
@@ -27,6 +28,7 @@ from gym_kmanip_tpu.mpc.vision_cost import fit_distance_cost, make_vision_cost
 H_PX, W_PX = 48, 64  # enough for the ~2-4 px cube/EE signal from the top cam
 
 
+@pytest.mark.slow
 def test_vision_mpc_reduces_true_distance():
     model = get_model("solo_arm")
     params = fit_distance_cost(

@@ -222,6 +222,52 @@ def scaling_bench():
     report(f"rollout_sharding_efficiency_1_to_{n_dev}dev", eff, "fraction", eff / 0.8)
 
 
+def vec_env_bench():
+    """RL-side throughput headline (VERDICT r2 next #7): env-steps/s of the
+    vectorized on-device env — N=1024 state-only and N=256 vision (64x64
+    renders, the RL-from-pixels resolution)."""
+    from gym_kmanip_tpu.env.vec_env import KManipVecEnv
+
+    for env_id, n_envs, hw, label in (
+        ("KManipSoloArmQPos", 64 if QUICK else 1024, None, "state_N{}"),
+        ("KManipSoloArmVision", 16 if QUICK else 256, (64, 64), "vision64_N{}"),
+    ):
+        env = KManipVecEnv(env_id, num_envs=n_envs, seed=0, render_hw=hw)
+        obs = env.reset()
+        acts = {
+            name: jnp.zeros((n_envs, {"eer_pos": 3, "eer_orn": 3, "grip_r": 1,
+                                      "q_pos_r": 7}[name]), jnp.float32)
+            for name in env.cfg.act_list
+        }
+        env.step(acts)  # compile
+        n = 5 if QUICK else 20
+        t0 = time.time()
+        for _ in range(n):
+            env.step(acts)
+        dt = time.time() - t0
+        rate = n * n_envs / dt
+        # vs the 50 Hz single-env real-time bar
+        report(f"vec_env_steps_per_sec_{label.format(n_envs)}", rate,
+               "env-steps/s", rate / (50.0 * n_envs))
+        env.close()
+
+
+def bc_bench():
+    """data -> train -> eval pick success (VERDICT r2 next #4). Expensive
+    (records MPPI-expert episodes); sized down under --quick."""
+    import importlib
+
+    mod = importlib.import_module("gym_kmanip_tpu.examples.13_bc_pick")
+    kw = (dict(n_episodes=2, ep_len=60, n_samples=64, n_train=800, n_evals=3)
+          if QUICK else
+          dict(n_episodes=8, ep_len=100, n_samples=256, n_train=3000,
+               n_evals=10))
+    expert_rate, bc_rate = mod.run_pipeline(log=lambda *a: None, **kw)
+    report("mppi_expert_pick_success_rate", expert_rate, "fraction",
+           expert_rate)
+    report("bc_pick_success_rate", bc_rate, "fraction", bc_rate)
+
+
 if __name__ == "__main__":
     mppi_benches()
     dual_arm_bench()
@@ -229,3 +275,5 @@ if __name__ == "__main__":
     vision_bench()
     vision_closed_loop_bench()
     scaling_bench()
+    vec_env_bench()
+    bc_bench()
