@@ -27,11 +27,21 @@ Metrics:
   * substep_flops / substep_mfu_pct — analytic FLOP count of one fused
     dynamics substep (XLA cost analysis of the jnp oracle path) and the
     resulting model-FLOP utilization against f32 peak.
-  * substep_hbm_roofline_pct — the honest "speed of light" number for
-    this kernel: XLA-counted bytes accessed per substep vs peak HBM
-    bandwidth. The substep is HBM/latency-bound (40-dim states, not
-    GEMMs), so this — not MFU — is the binding roofline.
+  * substep_hbm_roofline_pct — achieved substep rate vs the COMPULSORY-
+    traffic roofline (state in + state out streamed at peak HBM GB/s).
+    Round-2's version compared against the UNFUSED jnp path's XLA
+    "bytes accessed" and read >100%: the fused kernel keeps the whole
+    working set VMEM-resident across the scan, so XLA-counted
+    intermediate bytes never cross HBM. A low % here is the honest
+    story — the kernel is bound by sequential-scan latency (reported
+    as substep_wall_ns), not by HBM bandwidth or MXU FLOPs.
+  * substep_wall_ns — measured wall time per substep per sample on the
+    rollout path; the number a faster kernel must beat.
   * mppi_solves_per_sec_chip_H50_K256 — headline (north star: >50/s).
+  * tunnel_roundtrip_latency_ms — fixed host<->device round-trip of one
+    synced dispatch through the axon tunnel (~28 ms measured). Not chip
+    time: the solves/s rows cancel it by slope timing (1 vs 5 chained
+    calls of the same compiled program); reported for transparency.
 
 The reference publishes no benchmarks (BASELINE.md); vs_baseline uses the
 north-star bars noted per metric.
@@ -45,7 +55,12 @@ import time
 import traceback
 
 N_SAMPLES = 256
-N_SOLVES = 20
+# Solves per device dispatch for the open-loop throughput rows. Behind the
+# axon tunnel each dispatch carries a ~20-30 ms RPC round-trip that is NOT
+# chip time; at 20 solves/dispatch that overhead underreported steady-state
+# throughput ~4x (measured: 0.33 ms/solve marginal vs 30 ms/dispatch). 200
+# solves amortizes it to <15% and best-of-3 reps filters tunnel jitter.
+N_SOLVES = 200
 BACKEND = "uninitialized"
 
 # f32 peak FLOP/s and peak HBM GB/s per chip for roofline context (TPU MXU
@@ -133,9 +148,22 @@ def wait_for_backend(max_tries=None, probe_timeout=None):
 # --------------------------------------------------------------------------
 
 def open_loop(model, cost_fn, horizon):
-    """Throughput: N receding-horizon solves as one scanned on-device
-    program against a frozen state (kernel throughput, not control)."""
+    """Steady-state throughput: slope-based timing of one compiled
+    N_SOLVES-solve scanned program.
+
+    Three tunnel pitfalls shape the method (all measured; see
+    tools/exp_closure_capture.py and the memory notes):
+      * block_until_ready does NOT block on axon — only a device->host
+        transfer (np.asarray) forces completion;
+      * identical (program, input) executions are value-cached — inputs
+        must differ between calls (here each call feeds the previous
+        call's MPPIState in, so the rng chain advances);
+      * every SYNCED round-trip pays a fixed ~28 ms tunnel latency that
+        is not chip time — so the rate is taken from the SLOPE between
+        1 and 5 chained calls of the same program, which cancels it.
+    """
     import jax
+    import numpy as np
 
     from gym_kmanip_tpu.dynamics import init_state
     from gym_kmanip_tpu.mpc.mppi import MPPIConfig, init_mppi, mppi_solve
@@ -153,11 +181,21 @@ def open_loop(model, cost_fn, horizon):
         return jax.lax.scan(body, mppi_state, None, length=N_SOLVES)
 
     ms, Js = run_solves(mppi_state, sim_state)  # compile
-    jax.block_until_ready(Js)
-    t0 = time.time()
-    ms, Js = run_solves(mppi_state, sim_state)
-    jax.block_until_ready(Js)
-    return N_SOLVES / (time.time() - t0)
+    np.asarray(Js)
+
+    def timed(n_calls, rep):
+        ms = mppi_state._replace(
+            rng=jax.random.fold_in(mppi_state.rng, rep)
+        )
+        t0 = time.time()
+        for _ in range(n_calls):
+            ms, Js = run_solves(ms, sim_state)
+        np.asarray(Js)
+        return time.time() - t0
+
+    t1 = min(timed(1, rep) for rep in (1, 2, 3))
+    t5 = min(timed(5, rep) for rep in (4, 5, 6))
+    return 4 * N_SOLVES / max(t5 - t1, 1e-9)
 
 
 def closed_loop(model):
@@ -193,21 +231,30 @@ def closed_loop(model):
 
     mppi_state, u0, J = solver(mppi_state, sim_state)  # compile
     sim_state2, aux = plant_step(sim_state, u0)
-    jax.block_until_ready(sim_state2.qpos)
+    np.asarray(sim_state2.qpos)  # axon block_until_ready doesn't block
 
     n = 30
     t0 = time.time()
     for _ in range(n):
         mppi_state, u0, J = solver(mppi_state, sim_state)
         sim_state, aux = plant_step(sim_state, u0)
-    jax.block_until_ready(sim_state.qpos)
+    np.asarray(sim_state.qpos)
     return n / (time.time() - t0)
 
 
 def substep_cost(model):
-    """(flops, hbm_bytes) of ONE dynamics substep from XLA cost analysis of
-    the jnp oracle path (dynamics/engine._substep_jnp), which computes the
-    identical math the fused Pallas kernel executes."""
+    """(flops, min_hbm_bytes) of ONE dynamics substep.
+
+    flops: XLA cost analysis of the jnp oracle path
+    (dynamics/engine._substep_jnp), which computes the identical math the
+    fused Pallas kernel executes.
+
+    min_hbm_bytes: COMPULSORY traffic — the state pytree read + written
+    once per substep. This is the roofline denominator a streaming
+    deployment would pay; the fused rollout kernel actually keeps states
+    VMEM-resident across the whole horizon scan, so its true HBM traffic
+    is lower still (the roofline % is an upper bound on bandwidth need,
+    not a utilization claim)."""
     import jax
     import jax.numpy as jnp
 
@@ -226,7 +273,10 @@ def substep_cost(model):
     an = jax.jit(one).lower(state).compile().cost_analysis()
     if isinstance(an, list):
         an = an[0]
-    return float(an.get("flops", 0.0)), float(an.get("bytes accessed", 0.0))
+    state_bytes = sum(
+        leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(state)
+    )
+    return float(an.get("flops", 0.0)), float(2 * state_bytes)
 
 
 def ilqr_rate():
@@ -263,15 +313,37 @@ def ilqr_rate():
     us = jnp.tile(
         jnp.asarray(model.home_qpos[: model.nu], dtype=jnp.float32), (H, 1)
     )
+    import numpy as np
+
     r = ilqr_solve(model, cfg, state0, us, cost_xu)  # compile (cold ~90 s;
     # warm via the persistent compilation cache set up in main())
-    jax.block_until_ready(r.us)
-    n = 5
+    np.asarray(r.us)  # axon block_until_ready doesn't block
+
+    # slope-based rate (1 vs 5 chained calls, sync once at the end):
+    # cancels the fixed ~28 ms tunnel round-trip; each call feeds the
+    # previous solution in, so inputs differ and the tunnel's value cache
+    # of identical (program, input) executions can't serve a rep.
+    def timed(n_calls, seed):
+        us_in = us + np.float32(1e-6 * seed)
+        t0 = time.time()
+        r = None
+        for _ in range(n_calls):
+            r = ilqr_solve(model, cfg, state0, us_in, cost_xu)
+            us_in = r.us
+        np.asarray(r.us)
+        return time.time() - t0
+
+    t1 = min(timed(1, s) for s in (1, 2))
+    t5 = min(timed(5, s) for s in (3, 4))
+    return 4 / max(t5 - t1, 1e-9)
+
+
+def _timed_once(fn, *args):
+    import numpy as np
+
     t0 = time.time()
-    for _ in range(n):
-        r = ilqr_solve(model, cfg, state0, us, cost_xu)
-    jax.block_until_ready(r.us)
-    return n / (time.time() - t0)
+    np.asarray(fn(*args))
+    return time.time() - t0
 
 
 def main():
@@ -310,6 +382,23 @@ def main():
     model = get_model("solo_arm")
     params = CostParams()
     cost_fn = lambda s, aux, u: cube_pick_cost(model, s, aux, u, params)
+
+    try:
+        # fixed host<->device round-trip of ONE synced dispatch through the
+        # axon tunnel — context for the slope-based rates below (the floor
+        # they cancel) and for the closed-loop row (which pays it once per
+        # plant sync, not per solve).
+        import jax.numpy as jnp
+        import numpy as np
+
+        triv = jax.jit(lambda x: x + 1.0)
+        np.asarray(triv(jnp.float32(0)))
+        floor = min(
+            _timed_once(triv, np.float32(i + 1)) for i in range(5)
+        )
+        _emit("tunnel_roundtrip_latency_ms", floor * 1e3, "ms", floor * 50.0)
+    except Exception as e:  # noqa: BLE001
+        _emit_error("tunnel_latency", e)
 
     if os.environ.get("BENCH_ILQR", "1") != "0":
         try:
@@ -350,14 +439,20 @@ def main():
             _emit("substep_flops_analytic", fl, "flops", fl / 1e6)
             _emit(f"substep_mfu_pct_f32peak[{kind}]", mfu, "%", mfu / 100.0)
             if hbm_bytes > 0:
-                # the substep kernel's binding roofline: achievable rate if
-                # every XLA-counted byte streamed at peak HBM bandwidth
+                # compulsory-traffic roofline: achievable rate if every
+                # substep streamed its state in+out at peak HBM bandwidth.
+                # The fused kernel keeps states VMEM-resident across the
+                # horizon scan, so a LOW % is expected and honest: the
+                # binding resource is sequential-scan latency (see
+                # substep_wall_ns), not bandwidth.
                 roofline_rate = peak_bw / hbm_bytes
                 pct = 100.0 * substep_rate / roofline_rate
-                _emit("substep_hbm_bytes_analytic", hbm_bytes, "bytes",
+                _emit("substep_min_hbm_bytes", hbm_bytes, "bytes",
                       hbm_bytes / 1e3)
                 _emit(f"substep_hbm_roofline_pct[{kind}]", pct, "%",
                       pct / 100.0)
+            _emit("substep_wall_ns", 1e9 / substep_rate, "ns",
+                  substep_rate / 1e6)
     except Exception as e:  # noqa: BLE001
         _emit_error("substep_roofline", e)
 

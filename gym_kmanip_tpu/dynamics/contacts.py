@@ -34,12 +34,17 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gym_kmanip_tpu import constants as k
 from gym_kmanip_tpu.utils import rotations as rot
 
-# 8 cube corner offsets in the cube frame, scaled by half-size
-_CORNERS = jnp.array(
+# 8 cube corner offsets in the cube frame, scaled by half-size.
+# numpy (HOST) on purpose: a module-level DEVICE array captured by a jit
+# closure flips the axon runtime into a ~30 ms-per-dispatch mode for the
+# whole process (see tools/exp_closure_capture.py); a numpy constant is
+# baked into the HLO as a literal instead.
+_CORNERS = np.array(
     [
         [sx, sy, sz]
         for sx in (-1.0, 1.0)

@@ -62,7 +62,10 @@ class KManipVecEnv:
         self._rng = jax.random.PRNGKey(seed)
         cfg, model = self.cfg, self.model
 
-        spawn = jnp.asarray(k.CUBE_SPAWN_RANGE, dtype=jnp.float32)
+        # numpy (HOST) on purpose: a device array captured by the jitted
+        # closures below would flip the axon runtime into ~30 ms/dispatch
+        # mode (tests/test_no_device_closures.py)
+        spawn = np.asarray(k.CUBE_SPAWN_RANGE, dtype=np.float32)
 
         def reset_one(key) -> SimState:
             from gym_kmanip_tpu.dynamics.state import init_state

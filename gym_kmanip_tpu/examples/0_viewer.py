@@ -1,16 +1,21 @@
-"""Interactive-style viewer: roll a random policy and save rendered frames.
+"""Viewer example: live interactive browser viewer, or offline frames.
 
 TPU-native analog of the reference viewer example
 (/root/reference/gym_kmanip/examples/0_viewer.py), which launches the
-dm_control GUI. Headless TPU hosts have no GUI, so this renders the `top`
-camera through the on-device raycaster and writes PNG frames (and an mp4 if
-imageio is available).
+dm_control GUI. Headless TPU hosts have no GUI, so:
+
+  * `python 0_viewer.py --live` serves a LIVE interactive viewer over
+    HTTP (gym_kmanip_tpu/viewer.py): frames from the on-device raycaster
+    in any browser, keyboard teleop (WASD/QE moves the EE, space grips,
+    R resets) — the functional equivalent of dm_control.viewer.launch.
+  * without --live it rolls a random policy and writes PNG frames / mp4.
 
 Choose the env by editing ENV_NAME (same convention as the reference
 examples, e.g. examples/1_control.py:9-17).
 """
 
 import os
+import sys
 
 import gymnasium as gym
 import numpy as np
@@ -27,6 +32,14 @@ OUT_DIR: str = "/tmp/kmanip_viewer"
 
 
 def main():
+    if "--live" in sys.argv:
+        from gym_kmanip_tpu.viewer import LiveViewer
+
+        env = gym.make(ENV_NAME)
+        LiveViewer(env).run()
+        env.close()
+        return
+
     env = gym.make(ENV_NAME)
     env.reset(seed=0)
     os.makedirs(OUT_DIR, exist_ok=True)

@@ -11,6 +11,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gym_kmanip_tpu import constants as k
 from gym_kmanip_tpu.dynamics.state import SimState, StepAux
@@ -18,16 +19,24 @@ from gym_kmanip_tpu.models.spec import RobotModel
 
 
 class CostParams(NamedTuple):
-    """Weights for the cube-pick running cost."""
+    """Weights for the cube-pick running cost.
 
-    w_vel: jax.Array = jnp.asarray(k.REWARD_VEL_PENALTY)
-    w_grip_dist: jax.Array = jnp.asarray(k.REWARD_GRIP_DIST)
-    w_touch: jax.Array = jnp.asarray(k.REWARD_TOUCH_CUBE)
-    w_lift: jax.Array = jnp.asarray(k.REWARD_LIFT_CUBE)
-    w_ctrl: jax.Array = jnp.asarray(1e-3)  # smooth control-effort term
+    Defaults are HOST values (floats / numpy), never jnp arrays: a jitted
+    cost closure that captures a pre-existing DEVICE array as a constant
+    flips this process's axon runtime into a ~30 ms-per-dispatch mode for
+    every subsequent program (measured; see tools/exp_closure_capture.py).
+    Host constants are baked into the HLO as literals and stay fast.
+    Callers may still pass jax arrays explicitly (e.g. as traced operands).
+    """
+
+    w_vel: jax.typing.ArrayLike = k.REWARD_VEL_PENALTY
+    w_grip_dist: jax.typing.ArrayLike = k.REWARD_GRIP_DIST
+    w_touch: jax.typing.ArrayLike = k.REWARD_TOUCH_CUBE
+    w_lift: jax.typing.ArrayLike = k.REWARD_LIFT_CUBE
+    w_ctrl: jax.typing.ArrayLike = 1e-3  # smooth control-effort term
     # optional EE goal (for tracking-style tasks); NaN disables
-    ee_goal: jax.Array = jnp.full((3,), jnp.nan)
-    w_ee_goal: jax.Array = jnp.asarray(10.0)
+    ee_goal: jax.typing.ArrayLike = np.full((3,), np.nan, dtype=np.float32)
+    w_ee_goal: jax.typing.ArrayLike = 10.0
 
 
 def _safe_norm(x: jax.Array) -> jax.Array:

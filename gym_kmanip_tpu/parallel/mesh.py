@@ -85,8 +85,12 @@ def make_sharded_mppi_solver(
     n_dev = mesh.devices.size
     assert cfg.n_samples % n_dev == 0, (cfg.n_samples, n_dev)
     local_k = cfg.n_samples // n_dev
-    lo = jnp.asarray(model.ctrl_range[:, 0], dtype=jnp.float32)
-    hi = jnp.asarray(model.ctrl_range[:, 1], dtype=jnp.float32)
+    # numpy (HOST) on purpose: factory-scope DEVICE arrays captured by the
+    # jitted closure become hidden executable inputs and flip the axon
+    # runtime into ~30 ms/dispatch mode (tests/test_no_device_closures.py);
+    # numpy constants are baked into the HLO as literals.
+    lo = model.ctrl_range[:, 0].astype(np.float32)
+    hi = model.ctrl_range[:, 1].astype(np.float32)
 
     @partial(
         jax.shard_map,

@@ -78,13 +78,29 @@ def trace(log_dir: str = "/tmp/kmanip_trace"):
         jax.profiler.stop_trace()
 
 
+def sync(out):
+    """Force completion of a computation by transferring one leaf to host.
+
+    `jax.block_until_ready` does NOT actually block on the tunneled axon
+    TPU backend (measured: a 66 ms program "completed" in 0.2 ms; see
+    tools/exp_profile_mppi.py) — only a device->host transfer does. Every
+    timing in this repo must end with sync(), not block_until_ready.
+    Returns the transferred numpy leaf so callers can also consume it.
+    """
+    import numpy as np
+
+    leaves = jax.tree.leaves(out)
+    jax.block_until_ready(out)  # correct on non-axon backends; cheap
+    return np.asarray(leaves[-1]) if leaves else None
+
+
 def timed_block_until_ready(fn, *args, n: int = 10, warmup: int = 1):
     """Benchmark helper: mean wall seconds per call of a jitted fn."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / n
