@@ -56,12 +56,7 @@ def mpc_step(
     state, (touches, xps, xqs) = jax.lax.scan(body, state, None, length=n_substeps)
 
     xpos, xquat = xps[-1], xqs[-1]
-    sp = []
-    sq = []
-    for s in model.sites:
-        p, qu = kin.site_pose(model, xpos, xquat, s.name)
-        sp.append(p)
-        sq.append(qu)
+    site_pos, site_quat = kin.all_site_poses(model, xpos, xquat)
     touch_last = touches[-1]
     sides_r = jnp.asarray([t.side == "r" for t in model.fingertips], dtype=bool)
     sides_l = jnp.asarray([t.side == "l" for t in model.fingertips], dtype=bool)
@@ -77,8 +72,8 @@ def mpc_step(
         touch_r=jnp.any(touch_last & sides_r),
         touch_l=jnp.any(touch_last & sides_l),
         touch_table=touch_table,
-        site_pos=jnp.stack(sp),
-        site_quat=jnp.stack(sq),
+        site_pos=site_pos,
+        site_quat=site_quat,
         qfrc_contact=jnp.zeros_like(state.qvel),
         tip_pos=_tips_from_frames(model, xpos, xquat),
     )

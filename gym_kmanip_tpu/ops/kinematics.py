@@ -15,6 +15,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gym_kmanip_tpu.models.spec import HINGE, SLIDE, RobotModel
 from gym_kmanip_tpu.utils import rotations as rot
@@ -68,6 +69,29 @@ def site_pose(
     p = xpos[s.parent] + rot.quat_rotate(xquat[s.parent], jnp.asarray(s.pos, dtype=xpos.dtype))
     q = rot.quat_mul(xquat[s.parent], jnp.asarray(s.quat, dtype=xpos.dtype))
     return p, q
+
+
+def all_site_poses(
+    model: RobotModel, xpos: jax.Array, xquat: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """World poses of ALL sites at once: ((S, 3) pos, (S, 4) quat wxyz).
+
+    Same math as `site_pose` per site, but batched into one gather + one
+    quat_rotate + one quat_mul so the rollout hot loop (mpc/rollout.py)
+    emits a constant number of HLO ops regardless of site count — the
+    per-site Python loop was pure op-dispatch latency inside `lax.scan`.
+    Row order matches `model.sites` / `model.site_index`.
+    """
+    parents = jnp.asarray([s.parent for s in model.sites], dtype=jnp.int32)
+    spos = jnp.asarray(
+        np.stack([np.asarray(s.pos) for s in model.sites]), dtype=xpos.dtype
+    )
+    squat = jnp.asarray(
+        np.stack([np.asarray(s.quat) for s in model.sites]), dtype=xpos.dtype
+    )
+    pp = xpos[..., parents, :]  # (..., S, 3)
+    pq = xquat[..., parents, :]  # (..., S, 4)
+    return pp + rot.quat_rotate(pq, spos), rot.quat_mul(pq, squat)
 
 
 def point_jacobian(

@@ -14,7 +14,7 @@ tests (tests/test_pallas.py).
 """
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,14 +79,20 @@ def _chol_rows(n, M, b):
     return _chol_substitute_rows(n, _chol_factor_rows(n, M), b)
 
 
-def _substep_kernel(
+def _substep_core(
     model: RobotModel,
     dt: float,
     contact: bool,
     implicit_actuation: bool,
-    q_ref, v_ref, ctrl_ref, cube_ref,
-    qo_ref, vo_ref, cubeo_ref, touch_ref, xpos_ref, xquat_ref,
+    q, v, ctrl, cube,
 ):
+    """The physics substep as a PURE function on (1, K) row values.
+
+    q/v/ctrl: lists of rows; cube: dict(pos/quat/lv/av of row tuples).
+    Returns (q_out, v_out, cube_out, touch, x, qq): new state rows, the
+    per-tip touch rows, and the PRE-step body frames (the aux contract
+    the jnp substep exposes). Shared by the one-substep kernel below and
+    the fused rollout+cost megakernel (one launch per whole horizon)."""
     nq, nu = model.nq, model.nu
     T = len(model.fingertips)
     kp = np.asarray(model.actuator_kp, dtype=np.float32)
@@ -98,22 +104,6 @@ def _substep_kernel(
     I_diag = np.asarray(model.body_inertia, dtype=np.float32)
     com_l = np.asarray(model.body_com, dtype=np.float32)
     anc = np.asarray(model.ancestors)  # (nq, nq) bool
-
-    def row(ref, i):
-        return ref[i : i + 1, :]
-
-    def vec(ref, base):
-        return (row(ref, base), row(ref, base + 1), row(ref, base + 2))
-
-    q = [row(q_ref, i) for i in range(nq)]
-    v = [row(v_ref, i) for i in range(nq)]
-    ctrl = [row(ctrl_ref, i) for i in range(nu)]
-    cube = dict(
-        pos=vec(cube_ref, 0),
-        quat=(row(cube_ref, 3), row(cube_ref, 4), row(cube_ref, 5), row(cube_ref, 6)),
-        lv=vec(cube_ref, 7),
-        av=vec(cube_ref, 10),
-    )
 
     # ---- forward dynamics terms ----
     rn = _rnea_rows(model, -9.81, q, v)
@@ -262,6 +252,7 @@ def _substep_kernel(
             f_tot.append(f_fric[i] + f_lo[i] + f_hi[i])
         dq_acc = _chol_substitute_rows(nq, Lrows, f_tot)
         qacc = [qacc0[i] + dq_acc[i] for i in range(nq)]
+    q_out, v_out = [], []
     for i in range(nq):
         a_i = qacc[i]
         v_new = v[i] + dt * a_i
@@ -274,8 +265,8 @@ def _substep_kernel(
             0.0,
             v_new,
         )
-        qo_ref[i : i + 1, :] = q_cl
-        vo_ref[i : i + 1, :] = v_new
+        q_out.append(q_cl)
+        v_out.append(v_new)
 
     # ---- cube free body ----
     lv = _add(cube["lv"], _scale(force_c, dt * _CUBE_INV_MASS))
@@ -308,13 +299,51 @@ def _substep_kernel(
         )
     )
     quat = tuple(c / qn for c in quat)
+    cube_out = dict(pos=pos, quat=quat, lv=lv, av=av)
+    return q_out, v_out, cube_out, touch, x, qq
 
+
+def _substep_kernel(
+    model: RobotModel,
+    dt: float,
+    contact: bool,
+    implicit_actuation: bool,
+    q_ref, v_ref, ctrl_ref, cube_ref,
+    qo_ref, vo_ref, cubeo_ref, touch_ref, xpos_ref, xquat_ref,
+):
+    nq, nu = model.nq, model.nu
+    T = len(model.fingertips)
+
+    def row(ref, i):
+        return ref[i : i + 1, :]
+
+    def vec(ref, base):
+        return (row(ref, base), row(ref, base + 1), row(ref, base + 2))
+
+    q = [row(q_ref, i) for i in range(nq)]
+    v = [row(v_ref, i) for i in range(nq)]
+    ctrl = [row(ctrl_ref, i) for i in range(nu)]
+    cube = dict(
+        pos=vec(cube_ref, 0),
+        quat=(row(cube_ref, 3), row(cube_ref, 4), row(cube_ref, 5), row(cube_ref, 6)),
+        lv=vec(cube_ref, 7),
+        av=vec(cube_ref, 10),
+    )
+
+    q_out, v_out, cube_out, touch, x, qq = _substep_core(
+        model, dt, contact, implicit_actuation, q, v, ctrl, cube
+    )
+    zero = jnp.zeros_like(q[0])
+
+    for i in range(nq):
+        qo_ref[i : i + 1, :] = q_out[i]
+        vo_ref[i : i + 1, :] = v_out[i]
     for c in range(3):
-        cubeo_ref[c : c + 1, :] = pos[c]
-        cubeo_ref[7 + c : 8 + c, :] = lv[c]
-        cubeo_ref[10 + c : 11 + c, :] = av[c]
+        cubeo_ref[c : c + 1, :] = cube_out["pos"][c]
+        cubeo_ref[7 + c : 8 + c, :] = cube_out["lv"][c]
+        cubeo_ref[10 + c : 11 + c, :] = cube_out["av"][c]
     for c in range(4):
-        cubeo_ref[3 + c : 4 + c, :] = quat[c]
+        cubeo_ref[3 + c : 4 + c, :] = cube_out["quat"][c]
 
     for t in range(max(T, 1)):
         if T > 0:
@@ -401,3 +430,233 @@ def substep_batched(
         xp.T.reshape(K, nq, 3),
         xq.T.reshape(K, nq, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused rollout+cost megakernel: the WHOLE horizon in one kernel launch.
+#
+# The horizon loop runs INSIDE the kernel (jax.lax.fori_loop), keeping the
+# whole rollout state VMEM-resident for the full (K, H) sweep; the cost
+# function (the reference reward shape, mpc/cost.cube_pick_cost) is
+# evaluated in row space each step and accumulated, so MPPI's score pass
+# needs only the (K,) totals out of the kernel.
+#
+# Measured (v5e, K=256..2048, H=50): ~equal to the scanned per-substep
+# kernel (0.92-1.06x) — after round 3 removed the runtime slow-mode
+# triggers, the scanned chain is NOT launch-bound; both paths are bound by
+# the substep's sequential row compute. Kept as a verified alternative
+# backend (make_fused_pick_solver): identical controls on-chip, one
+# dispatchable program for the whole score pass, and the natural place to
+# push further fusion (e.g. sampling + update in-kernel) later.
+# ---------------------------------------------------------------------------
+
+
+class PickCostSpec(NamedTuple):
+    """Host-side spec of cube_pick_cost (mpc/cost.py) for the fused kernel.
+
+    Plain floats/bools only — these are baked into the kernel as literals
+    (device arrays in closures trigger the axon slow mode,
+    tests/test_no_device_closures.py)."""
+
+    w_vel: float = float(k.REWARD_VEL_PENALTY)
+    w_grip_dist: float = float(k.REWARD_GRIP_DIST)
+    w_touch: float = float(k.REWARD_TOUCH_CUBE)
+    w_lift: float = float(k.REWARD_LIFT_CUBE)
+    w_ctrl: float = 1e-3
+    use_right: bool = True
+    use_left: bool = False
+
+
+def _table_touch_row(cube_out):
+    """Row-space replica of contacts.cube_table's `touching` on the
+    POST-step cube state (matching mpc_step's aux.touch_table, which is
+    computed from the post-step state — mpc/rollout.py)."""
+    pos, quat = cube_out["pos"], cube_out["quat"]
+    touching = None
+    for sx in (-1.0, 1.0):
+        for sy in (-1.0, 1.0):
+            for sz in (-1.0, 1.0):
+                off = (sx * k.CUBE_HALF_SIZE, sy * k.CUBE_HALF_SIZE,
+                       sz * k.CUBE_HALF_SIZE)
+                cw = _add(pos, _qrot(quat, tuple(jnp.float32(c) for c in off)))
+                over = (
+                    (jnp.abs(cw[0] - float(k.TABLE_POS[0])) < k.TABLE_HALF_X)
+                    & (jnp.abs(cw[1] - float(k.TABLE_POS[1])) < k.TABLE_HALF_Y)
+                )
+                t = over & (cw[2] < k.TABLE_TOP_Z)
+                touching = t if touching is None else (touching | t)
+    return touching
+
+
+def _pick_cost_row(model, spec, q_out, v_out, cube_out, ctrl, touch, x, qq):
+    """cube_pick_cost (mpc/cost.py:40-69) on (1, K) rows.
+
+    Mirrors the state/aux time alignment of mpc_step: post-step state
+    (q_out/v_out/cube_out), PRE-step frames (x, qq) for the site position,
+    last-substep touch flags, post-step table touch."""
+    nq, nu = model.nq, model.nu
+    # w_vel * safe_norm([qvel, cube_linvel, cube_angvel])
+    sq = None
+    for r in list(v_out) + list(cube_out["lv"]) + list(cube_out["av"]):
+        sq = r * r if sq is None else sq + r * r
+    c = spec.w_vel * jnp.sqrt(jnp.where(sq < 1e-16, 1e-16, sq))
+
+    for use, site_name in ((spec.use_right, "eer_site"),
+                           (spec.use_left, "eel_site")):
+        if not use:
+            continue
+        s = model.site(site_name)
+        off = tuple(jnp.float32(float(v)) for v in np.asarray(s.pos))
+        p = _add(x[s.parent], _qrot(qq[s.parent], off))
+        d = _sub(cube_out["pos"], p)
+        dist = jnp.sqrt(jnp.maximum(_dot(d, d), 1e-30))
+        c = c - spec.w_grip_dist / (dist + k.EPSILON)
+
+    T = len(model.fingertips)
+    if T > 0:
+        touched = None
+        for t_i, tip in enumerate(model.fingertips):
+            flag = touch[t_i]
+            touched = flag if touched is None else (touched | flag)
+        ttab = _table_touch_row(cube_out)
+        c = c - jnp.where(touched, spec.w_touch, 0.0)
+        c = c - jnp.where(touched & ~ttab, spec.w_lift, 0.0)
+
+    effort = None
+    for i in range(nu):
+        e = (ctrl[i] - q_out[i]) ** 2
+        effort = e if effort is None else effort + e
+    return c + spec.w_ctrl * effort
+
+
+def _rollout_pick_kernel(
+    model: RobotModel,
+    dt: float,
+    horizon: int,
+    n_substeps: int,
+    contact: bool,
+    implicit_actuation: bool,
+    spec: PickCostSpec,
+    U_ref, q_ref, v_ref, cube_ref,
+    cost_ref,
+):
+    nq, nu = model.nq, model.nu
+
+    def row(ref, i):
+        return ref[i : i + 1, :]
+
+    def vec(ref, base):
+        return (row(ref, base), row(ref, base + 1), row(ref, base + 2))
+
+    q0 = tuple(row(q_ref, i) for i in range(nq))
+    v0 = tuple(row(v_ref, i) for i in range(nq))
+    cube0 = (
+        vec(cube_ref, 0),
+        (row(cube_ref, 3), row(cube_ref, 4), row(cube_ref, 5),
+         row(cube_ref, 6)),
+        vec(cube_ref, 7),
+        vec(cube_ref, 10),
+    )
+    acc0 = jnp.zeros_like(q0[0])
+
+    def body(h, carry):
+        q, v, cube_t, acc = carry
+        # U_ref is (H, nu, K): dynamic index on the LEADING dim only — a
+        # dynamic sublane offset (h*nu with nu=10) is not 8-aligned and
+        # Mosaic rejects it; leading-dim indexing is always tile-aligned.
+        blk = U_ref[h]  # (nu, K)
+        ctrl = [blk[i : i + 1, :] for i in range(nu)]
+        cube = dict(pos=cube_t[0], quat=cube_t[1], lv=cube_t[2],
+                    av=cube_t[3])
+        for _ in range(n_substeps):
+            q_out, v_out, cube_out, touch, x, qq = _substep_core(
+                model, dt, contact, implicit_actuation,
+                list(q), list(v), ctrl, cube,
+            )
+            q, v, cube = tuple(q_out), tuple(v_out), cube_out
+        acc = acc + _pick_cost_row(
+            model, spec, q, v, cube, ctrl, touch, x, qq
+        )
+        cube_t = (tuple(cube["pos"]), tuple(cube["quat"]),
+                  tuple(cube["lv"]), tuple(cube["av"]))
+        return q, v, cube_t, acc
+
+    _, _, _, acc = jax.lax.fori_loop(0, horizon, body, (q0, v0, cube0, acc0))
+    cost_ref[0:1, :] = acc
+
+
+def rollout_pick_costs(
+    model: RobotModel,
+    ctrl_seqs: jax.Array,  # (K, H, nu) candidate control sequences
+    state0,  # SimState (single, shared by all candidates)
+    spec: PickCostSpec = PickCostSpec(),
+    n_substeps: int = 1,
+    dt: float = k.CONTROL_TIMESTEP,
+    contact: bool = True,
+    implicit_actuation: bool = True,
+    interpret: bool = False,
+    block_k: int = 1024,
+) -> jax.Array:
+    """Total pick cost of K control sequences: ONE kernel launch for the
+    whole (K, H) rollout+cost sweep. Exactly matches
+    vmap(rollout(..., cube_pick_cost))'s totals (tests/test_pallas.py).
+
+    `block_k`: lane-block size per grid step (K > block_k tiles the batch
+    over a 1-D grid; exposed mainly so tests can exercise the grid path
+    at small K)."""
+    K, H, nu = ctrl_seqs.shape
+    nq = model.nq
+
+    _BK = block_k
+    Kp = max(128, -(-K // 128) * 128)
+    n_blk = -(-Kp // _BK)
+    if n_blk > 1:
+        Kp = n_blk * _BK
+
+    U = jnp.pad(ctrl_seqs, ((0, Kp - K), (0, 0), (0, 0)), mode="edge")
+    U = U.transpose(1, 2, 0)  # (H, nu, Kp)
+
+    def bcast(a, rows):
+        return jnp.broadcast_to(
+            jnp.asarray(a, jnp.float32).reshape(rows, 1), (rows, Kp)
+        )
+
+    q0 = bcast(state0.qpos, nq)
+    v0 = bcast(state0.qvel, nq)
+    cube0 = bcast(
+        jnp.concatenate([
+            state0.cube_pos, state0.cube_quat,
+            state0.cube_linvel, state0.cube_angvel,
+        ]), 13,
+    )
+
+    kernel = partial(
+        _rollout_pick_kernel, model, dt, H, n_substeps, contact,
+        implicit_actuation, spec,
+    )
+    if n_blk == 1:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
+        grid = ()
+    else:
+        in_specs = [
+            pl.BlockSpec(
+                (H, nu, _BK), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            )
+        ] + [
+            pl.BlockSpec((r, _BK), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for r in (nq, nq, 13)
+        ]
+        out_specs = pl.BlockSpec(
+            (1, _BK), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        grid = (n_blk,)
+    cost = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((1, Kp), jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(U, q0, v0, cube0)
+    return cost[0, :K]

@@ -206,3 +206,109 @@ def test_fused_substep_kernel_interpret_mode(dt, implicit):
     np.testing.assert_allclose(
         np.asarray(xp.T.reshape(K, nq, 3)), np.asarray(r[4]), atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused rollout+cost megakernel (ops/pallas_substep.rollout_pick_costs):
+# the whole (K, H) rollout+cost sweep in ONE kernel launch.
+# ---------------------------------------------------------------------------
+
+
+def _pick_oracle(model, state0, U, n_substeps=1, dt=0.02):
+    from gym_kmanip_tpu.mpc.cost import CostParams, cube_pick_cost
+    from gym_kmanip_tpu.mpc.rollout import rollout
+
+    params = CostParams()
+    cost_fn = lambda s, aux, u: cube_pick_cost(model, s, aux, u, params)
+    return jax.vmap(
+        lambda u: rollout(model, state0, u, cost_fn, n_substeps=n_substeps, dt=dt)[0]
+    )(U)
+
+
+def _rand_seqs(model, K, H, scale, seed):
+    key = jax.random.PRNGKey(seed)
+    base = jnp.asarray(model.home_qpos[: model.nu], jnp.float32)
+    return base[None, None, :] + scale * jax.random.normal(
+        key, (K, H, model.nu), dtype=jnp.float32
+    )
+
+
+def test_rollout_pick_megakernel_single_step_exact():
+    """H=1 isolates the cost terms from trajectory rounding amplification:
+    totals must match cube_pick_cost through mpc_step to f32 rounding even
+    for wild candidates that slam limits and graze contacts."""
+    from gym_kmanip_tpu.dynamics.state import init_state
+    from gym_kmanip_tpu.models import get_model
+    from gym_kmanip_tpu.ops.pallas_substep import PickCostSpec, rollout_pick_costs
+
+    m = get_model("solo_arm")
+    s0 = init_state(m)
+    U = _rand_seqs(m, 32, 1, 0.2, seed=3)
+    oracle = _pick_oracle(m, s0, U)
+    got = rollout_pick_costs(m, U, s0, PickCostSpec(), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), atol=1e-5)
+
+
+def test_rollout_pick_megakernel_horizon_env_fidelity():
+    """Multi-step totals at env fidelity (n_substeps=2, dt=0.002) match the
+    vmap(rollout) oracle tightly (contact forces are mild per 2 ms substep,
+    so f32 row-math rounding does not amplify)."""
+    from gym_kmanip_tpu.dynamics.state import init_state
+    from gym_kmanip_tpu.models import get_model
+    from gym_kmanip_tpu.ops.pallas_substep import PickCostSpec, rollout_pick_costs
+
+    m = get_model("solo_arm")
+    s0 = init_state(m)
+    U = _rand_seqs(m, 4, 3, 0.05, seed=1)
+    oracle = _pick_oracle(m, s0, U, n_substeps=2, dt=0.002)
+    got = rollout_pick_costs(
+        m, U, s0, PickCostSpec(), n_substeps=2, dt=0.002, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), atol=1e-4)
+
+
+def test_rollout_pick_megakernel_grid_path():
+    """K > block_k tiles the batch over a 1-D grid; totals still match
+    (block boundaries, edge-padding lanes discarded)."""
+    from gym_kmanip_tpu.dynamics.state import init_state
+    from gym_kmanip_tpu.models import get_model
+    from gym_kmanip_tpu.ops.pallas_substep import PickCostSpec, rollout_pick_costs
+
+    m = get_model("solo_arm")
+    s0 = init_state(m)
+    U = _rand_seqs(m, 140, 2, 0.05, seed=2)
+    oracle = _pick_oracle(m, s0, U)
+    got = rollout_pick_costs(
+        m, U, s0, PickCostSpec(), interpret=True, block_k=128
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), atol=1e-3)
+
+
+def test_fused_pick_solver_matches_plain_mppi():
+    """make_fused_pick_solver is the SAME MPPI solve as make_mppi_solver
+    with cube_pick_cost — same elite choice, near-identical control out."""
+    from gym_kmanip_tpu.dynamics.state import init_state
+    from gym_kmanip_tpu.models import get_model
+    from gym_kmanip_tpu.mpc.cost import CostParams, cube_pick_cost
+    from gym_kmanip_tpu.mpc.mppi import (
+        MPPIConfig,
+        init_mppi,
+        make_fused_pick_solver,
+        make_mppi_solver,
+    )
+
+    m = get_model("solo_arm")
+    cfg = MPPIConfig(horizon=4, n_samples=16, n_iters=1)
+    params = CostParams()
+    cost_fn = lambda s, aux, u: cube_pick_cost(m, s, aux, u, params)
+    plain = make_mppi_solver(m, cfg, cost_fn)
+    fused = make_fused_pick_solver(m, cfg, interpret=True)
+
+    ms, ss = init_mppi(m, cfg), init_state(m)
+    ms_p, u0_p, J_p = plain(ms, ss)
+    ms_f, u0_f, J_f = fused(ms, ss)
+    np.testing.assert_allclose(np.asarray(u0_f), np.asarray(u0_p), atol=1e-5)
+    np.testing.assert_allclose(float(J_f), float(J_p), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ms_f.nominal), np.asarray(ms_p.nominal), atol=1e-5
+    )
