@@ -27,14 +27,7 @@ from gym_kmanip_tpu.models import get_model
 from gym_kmanip_tpu.models.spec import RobotModel
 from gym_kmanip_tpu.ops import kinematics as kin
 from gym_kmanip_tpu.solvers.ik import ik_trf
-from gym_kmanip_tpu.solvers.ik_host import ik_trf_host
-
-
-def _ik(cfg):
-    """Reference-parity IK solver for this config: f64 host TRF (exact
-    scipy semantics; the default for the Gym shell) or the f32 on-device
-    TRF (batched/no-callback pipelines). See EnvConfig.ik_host64."""
-    return ik_trf_host if cfg.ik_host64 else ik_trf
+from gym_kmanip_tpu.solvers.ik_host import _solve_np, ik_trf_host
 from gym_kmanip_tpu.utils import rotations as rot
 
 # Fix-and-document (SURVEY.md §2.2): the reference's touch/lift reward scans
@@ -59,11 +52,34 @@ def _site_euler(model, qpos, site_name):
     return p, q, rot.quat_to_euler_xyz(q)
 
 
+def _ee_goal(model, cfg, state, action, side: str):
+    """Decoded EE goal (pos, wxyz quat) for one arm — the IK inputs.
+
+    Shared by the fused on-device decode and the split host-IK pipeline so
+    both compute bit-identical goals from (state, action)."""
+    site = f"ee{side}_site"
+    qpos = state.qpos
+    p, q, eul = _site_euler(model, qpos, site)
+    goal_pos = (
+        action[f"ee{side}_pos"] * jnp.asarray(k.EE_POS_DELTA, dtype=qpos.dtype) + p
+    )
+    goal_orn = rot.euler_xyz_to_quat(
+        action[f"ee{side}_orn"] * jnp.asarray(k.EE_ORN_DELTA, dtype=qpos.dtype) + eul
+    )
+    return goal_pos, goal_orn
+
+
 def _decode_action(
-    model: RobotModel, cfg, state: SimState, action: Dict[str, jax.Array]
+    model: RobotModel, cfg, state: SimState, action: Dict[str, jax.Array],
+    ik_solutions: Dict[str, Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """before_step (env_sim.py:38-108): action dict -> ctrl vector + mocap
     + the post-IK qpos.
+
+    `ik_solutions`: optional {"r"/"l": (q_sol, q_scribble)} computed OUTSIDE
+    this (traceable) function — the split host-IK pipeline (make_task with
+    cfg.ik_host64) injects its f64 host solves here; when absent the f32
+    on-device TRF solver runs inline.
 
     The returned qpos is behavior-defining reference parity: ik_res/ik_jac
     scribble every candidate q into the live physics.data.qpos and never
@@ -94,36 +110,30 @@ def _decode_action(
 
     q_home = jnp.asarray(cfg.q_pos_home, dtype=qpos.dtype)
 
-    if "eer_pos" in cfg.act_list:
-        p, q, eul = _site_euler(model, qpos, "eer_site")
-        goal_pos = action["eer_pos"] * jnp.asarray(k.EE_POS_DELTA, dtype=qpos.dtype) + p
-        goal_orn = rot.euler_xyz_to_quat(
-            action["eer_orn"] * jnp.asarray(k.EE_ORN_DELTA, dtype=qpos.dtype) + eul
-        )
-        mocap_pos = mocap_pos.at[k.MOCAP_ID_R].set(goal_pos)
-        mocap_quat = mocap_quat.at[k.MOCAP_ID_R].set(goal_orn)
-        mask = tuple(int(i) for i in cfg.q_id_r_mask)
-        # scipy-TRF-parity solver: matches the reference's least_squares
-        # trajectory (incl. early exits) to <1e-3 rad over 20 steps in f32
-        q_sol, q_scrib = _ik(cfg)(
-            model, qpos, goal_pos, goal_orn, q_home, qpos,
-            q_mask=mask, site_name="eer_site",
-        )
-        ctrl = ctrl.at[jnp.asarray(mask)].set(q_sol)
-        qpos_out = qpos_out.at[jnp.asarray(mask)].set(q_scrib)
-    if "eel_pos" in cfg.act_list:
-        p, q, eul = _site_euler(model, qpos, "eel_site")
-        goal_pos = action["eel_pos"] * jnp.asarray(k.EE_POS_DELTA, dtype=qpos.dtype) + p
-        goal_orn = rot.euler_xyz_to_quat(
-            action["eel_orn"] * jnp.asarray(k.EE_ORN_DELTA, dtype=qpos.dtype) + eul
-        )
-        mocap_pos = mocap_pos.at[k.MOCAP_ID_L].set(goal_pos)
-        mocap_quat = mocap_quat.at[k.MOCAP_ID_L].set(goal_orn)
-        mask = tuple(int(i) for i in cfg.q_id_l_mask)
-        q_sol, q_scrib = _ik(cfg)(
-            model, qpos, goal_pos, goal_orn, q_home, qpos,
-            q_mask=mask, site_name="eel_site",
-        )
+    for side, mocap_id, mask_ids in (
+        ("r", k.MOCAP_ID_R, cfg.q_id_r_mask),
+        ("l", k.MOCAP_ID_L, cfg.q_id_l_mask),
+    ):
+        if f"ee{side}_pos" not in cfg.act_list:
+            continue
+        goal_pos, goal_orn = _ee_goal(model, cfg, state, action, side)
+        mocap_pos = mocap_pos.at[mocap_id].set(goal_pos)
+        mocap_quat = mocap_quat.at[mocap_id].set(goal_orn)
+        mask = tuple(int(i) for i in mask_ids)
+        if ik_solutions is not None:
+            q_sol, q_scrib = ik_solutions[side]
+        else:
+            # scipy-TRF-parity solver: exact f64 host solve (ik_host64,
+            # via pure_callback — for direct/traceable callers on
+            # callback-supporting backends; the env pipeline built by
+            # make_task injects ik_solutions instead so it runs on axon)
+            # or the f32 on-device TRF, which matches the reference's
+            # least_squares trajectory to <1e-3 rad over 20 steps
+            solver = ik_trf_host if cfg.ik_host64 else ik_trf
+            q_sol, q_scrib = solver(
+                model, qpos, goal_pos, goal_orn, q_home, qpos,
+                q_mask=mask, site_name=f"ee{side}_site",
+            )
         ctrl = ctrl.at[jnp.asarray(mask)].set(q_sol)
         qpos_out = qpos_out.at[jnp.asarray(mask)].set(q_scrib)
 
@@ -221,9 +231,11 @@ def make_task(cfg):
             mocap_quat=jnp.asarray(model.mocap_quat0, dtype=state.qpos.dtype),
         )
 
-    def step_fn(state: SimState, action: Dict[str, jax.Array]) -> TaskOut:
+    def step_core(
+        state: SimState, action: Dict[str, jax.Array], ik_solutions=None
+    ) -> TaskOut:
         ctrl, qpos_ik, mocap_pos, mocap_quat = _decode_action(
-            model, cfg, state, action
+            model, cfg, state, action, ik_solutions
         )
         qpos_pre = state.qpos
         state = state._replace(qpos=qpos_ik)
@@ -232,4 +244,58 @@ def make_task(cfg):
         reward = _reward(model, cfg, state, aux)
         return TaskOut(state, obs, reward, mocap_pos, mocap_quat)
 
-    return jax.jit(reset_fn), jax.jit(step_fn), model
+    ee_sides = [s for s in ("r", "l") if f"ee{s}_pos" in cfg.act_list]
+    if not (cfg.ik_host64 and ee_sides):
+        # one fused XLA program: decode (+ on-device f32 TRF IK if any EE
+        # actions) -> physics -> obs -> reward
+        return jax.jit(reset_fn), jax.jit(step_fn_fused(step_core)), model
+
+    # --- split pipeline: goals (jit) -> f64 host IK (numpy) -> core (jit).
+    # The exact-parity solver needs float64 (scipy's ftol/xtol sit below
+    # f32 eps; solvers/ik_host.py docstring) which TPUs lack — and the axon
+    # PJRT backend rejects host callbacks inside compiled programs, so the
+    # host solve runs BETWEEN two jitted programs instead of as a
+    # pure_callback inside one. Same math, same order, every backend.
+    def goals_fn(state: SimState, action: Dict[str, jax.Array]):
+        return {
+            side: _ee_goal(model, cfg, state, action, side)
+            for side in ee_sides
+        }
+
+    goals_jit = jax.jit(goals_fn)
+    core_jit = jax.jit(step_core)
+    # f32 round-trip first: the pure_callback path hands the host solver the
+    # f32 device value of q_home; match it bit-for-bit
+    q_home_np = np.asarray(cfg.q_pos_home, np.float32).astype(np.float64)
+    masks = {
+        side: tuple(int(i) for i in getattr(cfg, f"q_id_{side}_mask"))
+        for side in ee_sides
+    }
+
+    def step_fn(state: SimState, action: Dict[str, jax.Array]) -> TaskOut:
+        goals = goals_jit(state, action)
+        qpos_np = np.asarray(state.qpos, np.float64)
+        sols = {}
+        for side in ee_sides:
+            gp, gq = goals[side]
+            q_sol, q_scrib = _solve_np(
+                qpos_np, np.asarray(gp, np.float64),
+                np.asarray(gq, np.float64), q_home_np, qpos_np,
+                model=model, q_mask=masks[side],
+                site_name=f"ee{side}_site",
+            )
+            sols[side] = (q_sol, q_scrib)
+        return core_jit(state, action, sols)
+
+    # the traceable pieces, for tests that trace jitted programs
+    # (tests/test_no_device_closures.py walks these when present)
+    step_fn.jit_parts = (goals_jit, core_jit)
+    return jax.jit(reset_fn), step_fn, model
+
+
+def step_fn_fused(step_core):
+    """Single-program step for configs without host IK."""
+    def step_fn(state, action):
+        return step_core(state, action, None)
+
+    return step_fn
