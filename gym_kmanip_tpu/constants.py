@@ -388,6 +388,16 @@ LIMIT_SAFETY_MARGIN: float = 0.5
 # substep's Cholesky factor
 CONSTRAINT_ITERS: int = 3
 
+# dof frictionloss is a SOFT constraint in MuJoCo (solreffriction (0.02, 1),
+# solimp d0 = 0.9 at zero violation), NOT an exact dry-friction latch:
+# forces below the bound produce velocity CREEP f = -(d/(1-d))*M*beta*v.
+# Measured on the reference gripper (kp*range = 6.8 N applied vs
+# frictionloss 30): real MuJoCo closes the 34 mm slider in ~1 s at
+# ~0.1 m/s creep; an exact latch freezes it forever and castrates the
+# gripper (round-3 fix; golden trace tests/golden/slider_friction_trace.npz)
+FRICTION_BETA: float = 2.0 / (0.95 * LIMIT_TIMECONST)  # b = 2/(dmax*tau)
+FRICTION_IMPEDANCE: float = 0.9  # solimp d0 at r = 0
+
 # Cube velocity bounds: an energy cap that keeps coarse-dt (20 ms) MPC
 # rollouts finite when penalty contacts go stiff (dt*sqrt(k/m) >> 1 there).
 # The 2 ms plant never approaches these, so env/MuJoCo parity is unaffected.

@@ -98,8 +98,21 @@ def constraint_qacc(model: RobotModel, qpos, qvel, qacc0, Mdiag, solve, dt):
     f_lo = jnp.zeros_like(qacc0)
     f_hi = jnp.zeros_like(qacc0)
     qacc = qacc0
+    d_fr = k.FRICTION_IMPEDANCE
     for _ in range(k.CONSTRAINT_ITERS):
-        f_fric = jnp.clip(f_fric + Mdiag * (-qvel / dt - qacc), -fl, fl)
+        # regularized dry friction (MuJoCo solreffriction semantics):
+        # PGS step on min ||A f - (aref - a0)||^2 + R f^2 with
+        # R = (1-d)/d * A  =>  f += d*M*(aref - a) - (1-d)*f, clipped to
+        # +-frictionloss. Under-bound applied forces leave steady creep
+        # v = -(1-d)/(d*M*beta) * f (the reference gripper NEEDS this:
+        # kp*range = 6.8 N < fl = 30 would latch forever under exact dry
+        # friction; golden trace tests/golden/slider_friction_trace.npz)
+        f_fric = jnp.clip(
+            f_fric
+            + d_fr * Mdiag * (-k.FRICTION_BETA * qvel - qacc)
+            - (1.0 - d_fr) * f_fric,
+            -fl, fl,
+        )
         f_lo = jnp.where(
             viol_lo > 0,
             jnp.maximum(f_lo + d * Mdiag * (aref_lo - qacc), 0.0),

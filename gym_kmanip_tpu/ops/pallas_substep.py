@@ -230,8 +230,14 @@ def _substep_core(
         f_tot = []
         for i in range(nq):
             if fl[i] != 0.0:
+                # regularized dry friction (MuJoCo solreffriction
+                # semantics; mirrors engine.constraint_qacc): under-bound
+                # applied forces leave velocity creep instead of latching
+                d_fr = k.FRICTION_IMPEDANCE
                 f_fric[i] = jnp.clip(
-                    f_fric[i] + Mdiag[i] * (-v[i] / dt - qacc[i]),
+                    f_fric[i]
+                    + d_fr * Mdiag[i] * (-k.FRICTION_BETA * v[i] - qacc[i])
+                    - (1.0 - d_fr) * f_fric[i],
                     -float(fl[i]),
                     float(fl[i]),
                 )
