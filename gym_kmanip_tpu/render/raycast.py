@@ -50,6 +50,8 @@ _LINK_COLOR = np.array([0.55, 0.57, 0.60], dtype=np.float32)
 _TIP_COLOR = np.array([0.25, 0.25, 0.28], dtype=np.float32)
 
 _LINK_RADIUS = 0.035
+# gripper finger slabs (parent jaw frame -> fingertip): square cross-section
+_FINGER_HALF_W = 0.007
 # capsule radius per actuator class (visual approximation of the link
 # bodies between consecutive joint frames)
 _CAPSULE_RADIUS = {"x8": 0.045, "x6": 0.038, "x4": 0.030, "slider": 0.012,
@@ -253,6 +255,64 @@ def render_camera(
         t_cap = jnp.full((P, 0), _BIG, dtype=dt)
         n_cap = jnp.zeros((P, 0, 3), dtype=dt)
 
+    # gripper fingers as thin oriented boxes spanning parent jaw frame ->
+    # fingertip (the reference's finger geoms are boxes; spheres alone
+    # leave the jaws invisible in pick-from-pixels renders)
+    if tip_specs:
+        par_idx = jnp.asarray([t.parent for t in tip_specs])
+        p_par = xpos[par_idx]  # (F,3)
+        w = tip_centers - p_par
+        L = jnp.maximum(jnp.linalg.norm(w, axis=-1), 1e-6)  # (F,)
+        u = w / L[:, None]
+        pick_x = jnp.abs(u[:, :1]) < 0.9
+        a = jnp.where(
+            pick_x,
+            jnp.asarray([1.0, 0.0, 0.0], dtype=dt),
+            jnp.asarray([0.0, 1.0, 0.0], dtype=dt),
+        )
+        xax = jnp.cross(a, u)
+        xax = xax / jnp.maximum(
+            jnp.linalg.norm(xax, axis=-1, keepdims=True), 1e-9
+        )
+        yax = jnp.cross(u, xax)
+        Rf = jnp.stack([xax, yax, u], axis=-1)  # (F,3,3), columns = axes
+        cen = (p_par + tip_centers) / 2.0
+        tip_r = (
+            jnp.asarray([t.radius for t in tip_specs], dtype=dt)
+            if tip_specs
+            else jnp.zeros((0,), dtype=dt)
+        )
+        half = jnp.stack(
+            [
+                jnp.full_like(L, _FINGER_HALF_W),
+                jnp.full_like(L, _FINGER_HALF_W),
+                L / 2.0 + tip_r,
+            ],
+            axis=-1,
+        )
+        t_f, n_f = jax.vmap(lambda c, R, h: _ray_box(o, d, c, R, h))(
+            cen, Rf, half
+        )
+        t_fing = jnp.moveaxis(t_f, 0, 1)  # (P,F)
+        n_fing = jnp.moveaxis(n_f, 0, 1)  # (P,F,3)
+    else:
+        t_fing = jnp.full((P, 0), _BIG, dtype=dt)
+        n_fing = jnp.zeros((P, 0, 3), dtype=dt)
+
+    # body-mounted cameras (grip cams ride the wrist body): exclude the
+    # mount body's own joint sphere and the link capsule ENDING at it —
+    # the visual capsules are fatter than the real meshes the reference's
+    # camera sits outside of, so without this the whole frame is the
+    # inside of the wrist link. Jaw capsules/tips stay visible.
+    if cam.parent >= 0:
+        sph_radii = sph_radii.at[cam.parent].set(0.0)
+        if cap_pairs:
+            cap_mask = np.asarray(
+                [i == cam.parent for _, i in cap_pairs], dtype=bool
+            )
+            if cap_mask.any():
+                t_cap = jnp.where(cap_mask[None, :], _BIG, t_cap)
+
     t_sph, n_sph = _ray_spheres(o, d, sph_centers, sph_radii)  # (P,S)
     t_cube, n_cube = _ray_box(
         o, d, cube_pos, rot.quat_to_mat(cube_quat), jnp.full((3,), k.CUBE_HALF_SIZE, dtype=dt)
@@ -265,9 +325,10 @@ def render_camera(
 
     # closest-hit resolution
     t_all = jnp.concatenate(
-        [t_cap, t_sph, t_cube[:, None], t_table[:, None], t_floor[:, None]],
+        [t_cap, t_fing, t_sph, t_cube[:, None], t_table[:, None],
+         t_floor[:, None]],
         axis=1,
-    )  # (P, C+S+3)
+    )  # (P, C+F+S+3)
     idx = jnp.argmin(t_all, axis=1)
     t_best = jnp.min(t_all, axis=1)
     S = sph_centers.shape[0]
@@ -284,11 +345,12 @@ def render_camera(
     )
 
     c_cap = _shade(n_cap, jnp.asarray(_LINK_COLOR, dtype=dt)[None, None, :])
+    c_fing = _shade(n_fing, jnp.asarray(_TIP_COLOR, dtype=dt)[None, None, :])
     c_all = jnp.concatenate(
-        [c_cap, c_sph, c_cube[:, None, :], c_table[:, None, :],
+        [c_cap, c_fing, c_sph, c_cube[:, None, :], c_table[:, None, :],
          c_floor[:, None, :]],
         axis=1,
-    )  # (P, C+S+3, 3)
+    )  # (P, C+F+S+3, 3)
     color = jnp.take_along_axis(c_all, idx[:, None, None], axis=1)[:, 0, :]
     color = jnp.where(t_best[:, None] >= _BIG, jnp.asarray(_SKY, dtype=dt), color)
 
