@@ -256,8 +256,9 @@ def render_camera(
         n_cap = jnp.zeros((P, 0, 3), dtype=dt)
 
     # gripper fingers as thin oriented boxes spanning parent jaw frame ->
-    # fingertip (the reference's finger geoms are boxes; spheres alone
-    # leave the jaws invisible in pick-from-pixels renders)
+    # fingertip (visual stand-ins for the reference's finger geoms, whose
+    # STL meshes are gitignored upstream; spheres alone leave the jaws
+    # invisible in pick-from-pixels renders)
     if tip_specs:
         par_idx = jnp.asarray([t.parent for t in tip_specs])
         p_par = xpos[par_idx]  # (F,3)
@@ -276,17 +277,17 @@ def render_camera(
         )
         yax = jnp.cross(u, xax)
         Rf = jnp.stack([xax, yax, u], axis=-1)  # (F,3,3), columns = axes
-        cen = (p_par + tip_centers) / 2.0
-        tip_r = (
-            jnp.asarray([t.radius for t in tip_specs], dtype=dt)
-            if tip_specs
-            else jnp.zeros((0,), dtype=dt)
-        )
+        tip_r = jnp.asarray([t.radius for t in tip_specs], dtype=dt)
+        # extend the slab by tip_r past the FINGERTIP end only: half-length
+        # (L + tip_r)/2 with the center shifted tip_r/2 toward the tip (a
+        # symmetric L/2 + tip_r half-length would poke tip_r behind the
+        # parent jaw frame too)
+        cen = (p_par + tip_centers) / 2.0 + (tip_r[:, None] / 2.0) * u
         half = jnp.stack(
             [
                 jnp.full_like(L, _FINGER_HALF_W),
                 jnp.full_like(L, _FINGER_HALF_W),
-                L / 2.0 + tip_r,
+                (L + tip_r) / 2.0,
             ],
             axis=-1,
         )

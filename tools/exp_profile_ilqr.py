@@ -64,9 +64,9 @@ def main():
     ks, Ks = backward(*d)
     np.asarray(ks)
 
-    def slope(fn, chain, reps=2):
-        """fn(seed) must run ONE op and return something syncable; chain(k)
-        runs k chained ops. Returns s/op by slope."""
+    def slope(chain, reps=2):
+        """chain(k, seed) runs k chained ops and returns something syncable.
+        Returns s/op by the slope between 1 and 5 chained calls."""
         def timed(k, seed):
             t0 = time.time()
             out = chain(k, seed)
@@ -134,7 +134,7 @@ def main():
         ("solve_fused(10it)", chain_solve),
     ]:
         ch(1, 99)  # warm/compile
-        dt = slope(None, ch)
+        dt = slope(ch)
         print(f"{name:20s} {dt*1e3:8.3f} ms/op")
 
 
