@@ -309,7 +309,10 @@ def ilqr_rate():
         )
 
     H = 100
-    cfg = ILQRConfig(horizon=H, n_iters=10, contact=False)
+    # reduced_state: contact=False decouples the cube, so the solver state
+    # is [qpos, qvel] (n=40, not 53) — exact for this cube-free cost, and
+    # 2.3x smaller Riccati matmuls (solvers/ilqr.ILQRConfig.reduced_state)
+    cfg = ILQRConfig(horizon=H, n_iters=10, contact=False, reduced_state=True)
     us = jnp.tile(
         jnp.asarray(model.home_qpos[: model.nu], dtype=jnp.float32), (H, 1)
     )
@@ -336,6 +339,32 @@ def ilqr_rate():
     t1 = min(timed(1, s) for s in (1, 2))
     t5 = min(timed(5, s) for s in (3, 4))
     return 4 / max(t5 - t1, 1e-9)
+
+
+def gym_env_rate():
+    """Single-env Gym step throughput, ours vs the ACTUAL reference on the
+    same host CPU (tools/bench_env_step.py in a subprocess so the CPU
+    platform pin cannot leak into this TPU process). vs_baseline = speedup
+    over the reference implementation — the one metric where the reference
+    itself is runnable here and IS the baseline."""
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("JAX_PLATFORM_NAME", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "tools", "bench_env_step.py")],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"no JSON from bench_env_step rc={proc.returncode}: "
+        f"{proc.stderr[-500:]}"
+    )
 
 
 def _timed_once(fn, *args):
@@ -455,6 +484,18 @@ def main():
                   substep_rate / 1e6)
     except Exception as e:  # noqa: BLE001
         _emit_error("substep_roofline", e)
+
+    try:
+        env_hz = gym_env_rate()
+        if env_hz:
+            _emit(
+                "gym_env_step_hz_solo_cpu", env_hz["ours_hz"], "Hz",
+                (env_hz.get("speedup") or 0.0),
+                reference_hz=env_hz.get("reference_hz"),
+                native_ik=env_hz.get("native_ik"),
+            )
+    except Exception as e:  # noqa: BLE001
+        _emit_error("gym_env_rate", e)
 
     if headline_err is None:
         _emit(f"mppi_solves_per_sec_chip_H50_K{N_SAMPLES}", s50, "solves/s",

@@ -27,7 +27,7 @@ from gym_kmanip_tpu.models import get_model
 from gym_kmanip_tpu.models.spec import RobotModel
 from gym_kmanip_tpu.ops import kinematics as kin
 from gym_kmanip_tpu.solvers.ik import ik_trf
-from gym_kmanip_tpu.solvers.ik_host import _solve_np, ik_trf_host
+from gym_kmanip_tpu.solvers.ik_host import ik_trf_host, solve_host
 from gym_kmanip_tpu.utils import rotations as rot
 
 # Fix-and-document (SURVEY.md §2.2): the reference's touch/lift reward scans
@@ -278,7 +278,9 @@ def make_task(cfg):
         sols = {}
         for side in ee_sides:
             gp, gq = goals[side]
-            q_sol, q_scrib = _solve_np(
+            # native C++ TRF when built (solvers/ik_host.solve_host), the
+            # numpy f64 twin otherwise — identical contract either way
+            q_sol, q_scrib = solve_host(
                 qpos_np, np.asarray(gp, np.float64),
                 np.asarray(gq, np.float64), q_home_np, qpos_np,
                 model=model, q_mask=masks[side],

@@ -1,0 +1,193 @@
+"""Native (C++) host-IK runtime — build-on-demand ctypes loader.
+
+The reference's per-step hot path is a native least-squares IK solve
+(scipy TRF + MuJoCo C kinematics, /root/reference/gym_kmanip/
+ik_mujoco.py:129-155). This package is the framework's native counterpart:
+`ik_native.cpp` implements the identical f64 pipeline (FK -> reference
+residual/Jacobian -> scipy-semantics TRF) as a dependency-free shared
+library, compiled lazily with g++ and loaded via ctypes — no pybind11, no
+LAPACK, no install step.
+
+`solve_ik_native` mirrors solvers/ik_host._solve_np's contract exactly
+(warm-start out-of-bounds clip, NaN fallback, joint-range clip, qpos
+scribble, f32 outputs). Parity vs the numpy twin is asserted to <1e-9 rad
+in tests/test_native_ik.py, and the env golden-trace parity band is
+asserted over this backend too (tests/test_env_parity.py).
+
+Fallback contract: if g++ is missing or the build/load fails for any
+reason, `available()` returns False and callers (solvers/ik_host.solve_host)
+stay on the numpy implementation — the native path is a fast path, never a
+requirement. Set GYM_KMANIP_NATIVE_IK=0 to force the numpy path.
+"""
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "ik_native.cpp")
+_ABI_VERSION = 1
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+_load_error: Optional[str] = None
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("GYM_KMANIP_NATIVE_CACHE")
+    if not d:
+        d = os.path.join(
+            os.path.expanduser("~"), ".cache", "gym_kmanip_tpu"
+        )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build() -> str:
+    """Compile ik_native.cpp into a content-addressed .so (cached)."""
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so = os.path.join(_cache_dir(), f"ik_native_{tag}.so")
+    if not os.path.exists(so):
+        tmp = f"{so}.tmp{os.getpid()}"
+        cmd = [
+            "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+            "-o", tmp, _SRC,
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(f"g++ failed: {proc.stderr[-2000:]}")
+        os.replace(tmp, so)  # atomic: concurrent builders race safely
+    return so
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted, _load_error
+    if _load_attempted:
+        return _lib
+    with _lock:
+        if _load_attempted:
+            return _lib
+        try:
+            if os.environ.get("GYM_KMANIP_NATIVE_IK", "1") == "0":
+                raise RuntimeError("disabled via GYM_KMANIP_NATIVE_IK=0")
+            lib = ctypes.CDLL(_build())
+            lib.kmanip_ik_abi_version.restype = ctypes.c_int
+            if lib.kmanip_ik_abi_version() != _ABI_VERSION:
+                raise RuntimeError("ABI version mismatch (stale cache?)")
+            c_dp = ctypes.POINTER(ctypes.c_double)
+            c_ip = ctypes.POINTER(ctypes.c_int)
+            c_up = ctypes.POINTER(ctypes.c_ubyte)
+            lib.kmanip_ik_solve.restype = ctypes.c_int
+            lib.kmanip_ik_solve.argtypes = [
+                ctypes.c_int, c_ip, c_ip, c_dp, c_dp,          # model tree
+                ctypes.c_int, c_dp, c_dp, c_up,                 # site
+                ctypes.c_int, c_ip, c_dp, c_dp,                 # mask/bounds
+                c_dp, c_dp, c_dp, c_dp, c_dp,                   # problem
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double,               # weights
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_int,                                   # tolerances
+                c_dp, c_dp,                                     # outputs
+            ]
+            _lib = lib
+        except Exception as e:  # noqa: BLE001 — any failure => numpy path
+            _load_error = f"{type(e).__name__}: {e}"
+            _lib = None
+        _load_attempted = True
+    return _lib
+
+
+def available() -> bool:
+    """True iff the native solver built, loaded, and is not disabled."""
+    return _load() is not None
+
+
+def load_error() -> Optional[str]:
+    """Why the native solver is unavailable (None if it loaded fine)."""
+    _load()
+    return _load_error
+
+
+def _c64(a: np.ndarray):
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _c32i(a) -> Tuple[np.ndarray, "ctypes.POINTER"]:
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def solve_ik_native(
+    qpos_full, goal_pos, goal_orn, q_home_full, q_prev_full, *,
+    model, q_mask, site_name,
+    ftol=1e-8, xtol=1e-8, gtol=1e-8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop-in for solvers/ik_host._solve_np backed by the C++ solver.
+
+    Same (q_sol_f32, q_scribble_f32) contract: out-of-bounds warm start
+    short-circuits (scipy raises before evaluating; the reference keeps the
+    warm start, ik_mujoco.py:129-138), NaN fallback to the warm start, and
+    a final joint-range clip.
+    """
+    lib = _load()
+    assert lib is not None, "call available() first"
+    qpos_full = np.asarray(qpos_full, np.float64)
+    mask = list(q_mask)
+    lo = np.asarray(model.jnt_range[mask, 0], np.float64)
+    hi = np.asarray(model.jnt_range[mask, 1], np.float64)
+    q0 = qpos_full[mask]
+    if np.any((q0 < lo) | (q0 > hi)):
+        return (np.clip(q0, lo, hi).astype(np.float32),
+                q0.astype(np.float32))
+
+    from gym_kmanip_tpu import constants as k
+
+    site = model.site(site_name)
+    n = len(mask)
+    x_out = np.empty(n, np.float64)
+    x_last = np.empty(n, np.float64)
+
+    parent, parent_p = _c32i(model.parent)
+    jtype, jtype_p = _c32i(model.jnt_type)
+    jpos, jpos_p = _c64(model.jnt_pos)
+    jquat, jquat_p = _c64(model.jnt_quat)
+    spos, spos_p = _c64(site.pos)
+    squat, squat_p = _c64(site.quat)
+    anc = np.ascontiguousarray(model.ancestors[site.parent], dtype=np.uint8)
+    anc_p = anc.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    maskc, mask_p = _c32i(mask)
+    lo_c, lo_p = _c64(lo)
+    hi_c, hi_p = _c64(hi)
+    qf, qf_p = _c64(qpos_full)
+    gp, gp_p = _c64(goal_pos)
+    gq, gq_p = _c64(goal_orn)
+    qh, qh_p = _c64(np.asarray(q_home_full, np.float64)[mask])
+    qp, qp_p = _c64(np.asarray(q_prev_full, np.float64)[mask])
+    xo_p = x_out.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    xl_p = x_last.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    status = lib.kmanip_ik_solve(
+        int(model.nq), parent_p, jtype_p, jpos_p, jquat_p,
+        int(site.parent), spos_p, squat_p, anc_p,
+        n, mask_p, lo_p, hi_p,
+        qf_p, gp_p, gq_p, qh_p, qp_p,
+        float(k.IK_RES_RAD), float(k.IK_RES_REG_PREV),
+        float(k.IK_RES_REG_HOME), float(k.IK_JAC_RAD), float(k.IK_JAC_REG),
+        float(ftol), float(xtol), float(gtol), 0,
+        xo_p, xl_p,
+    )
+    if status < 0 or np.any(~np.isfinite(x_out)):
+        x_out = q0
+    if np.any(~np.isfinite(x_last)):
+        x_last = q0
+    return (np.clip(x_out, lo, hi).astype(np.float32),
+            x_last.astype(np.float32))

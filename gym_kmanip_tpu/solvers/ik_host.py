@@ -493,6 +493,31 @@ def trf_np(fun, jac, x0, lb, ub, ftol=1e-8, xtol=1e-8, gtol=1e-8,
 # ---------------------------------------------------------------------------
 
 
+def solve_host(qpos_full, goal_pos, goal_orn, q_home_full, q_prev_full, *,
+               model, q_mask, site_name):
+    """One f64 host IK solve — native C++ when available, numpy otherwise.
+
+    The C++ backend (gym_kmanip_tpu/native/ik_native.cpp) is the same
+    pipeline compiled: FK -> reference residual/analytic Jacobian -> the
+    scipy-semantics TRF below. ~100x faster per solve than the numpy
+    interpreter path (the env's host hot loop, exactly as the reference's
+    scipy+MuJoCo-C solve is its hot loop); falls back to numpy if g++ or
+    the build is unavailable (native.available()). Solutions agree to
+    <1e-9 rad in-distribution (tests/test_native_ik.py) and the golden
+    env-parity traces are asserted over both backends."""
+    from gym_kmanip_tpu import native
+
+    if native.available():
+        return native.solve_ik_native(
+            qpos_full, goal_pos, goal_orn, q_home_full, q_prev_full,
+            model=model, q_mask=q_mask, site_name=site_name,
+        )
+    return _solve_np(
+        qpos_full, goal_pos, goal_orn, q_home_full, q_prev_full,
+        model=model, q_mask=q_mask, site_name=site_name,
+    )
+
+
 def _solve_np(qpos_full, goal_pos, goal_orn, q_home_full, q_prev_full, *,
               model, q_mask, site_name):
     """One f64 IK solve; mirrors solvers/ik.ik_trf's post-solve contract
@@ -546,7 +571,7 @@ def ik_trf_host(
         jax.ShapeDtypeStruct((n,), jnp.float32),
         jax.ShapeDtypeStruct((n,), jnp.float32),
     )
-    cb = partial(_solve_np, model=model, q_mask=tuple(q_mask),
+    cb = partial(solve_host, model=model, q_mask=tuple(q_mask),
                  site_name=site_name)
     q, scrib = jax.pure_callback(
         cb, out_shape, qpos_full, goal_pos, goal_orn, q_pos_home_full,
