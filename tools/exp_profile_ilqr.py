@@ -45,12 +45,20 @@ def main():
             + 0.001 * jnp.sum(u**2)
         )
 
+    import os
+
     H = 100
-    cfg = ILQRConfig(horizon=H, n_iters=10, contact=False)
+    reduced = os.environ.get("PROFILE_REDUCED", "1") != "0"
+    par = os.environ.get("PROFILE_PARALLEL", "0") != "0"
+    cfg = ILQRConfig(
+        horizon=H, n_iters=10, contact=False, reduced_state=reduced,
+        parallel_backward=par,
+    )
+    print(f"reduced_state={reduced} parallel_backward={par}")
     us = jnp.tile(
         jnp.asarray(model.home_qpos[: model.nu], dtype=jnp.float32), (H, 1)
     )
-    x0 = flatten_state(state0)
+    x0 = flatten_state(state0, reduced=cfg.reduced_state)
     n = x0.shape[0]
     print(f"torso: nq={model.nq} nu={model.nu} state n={n} H={H}")
 
