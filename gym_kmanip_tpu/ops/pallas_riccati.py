@@ -7,10 +7,11 @@ per step on a v5e (~30 ms for H=100) against ~2 us of actual arithmetic.
 This kernel keeps the entire problem resident in VMEM (~4 MB at torso
 H=100) and runs the whole sweep inside one `fori_loop`: per-step matmuls
 hit the MXU, the Quu Cholesky factorization + two-sided substitution are
-trace-time-unrolled rows exactly like ops/pallas_linalg, and the only HBM
-traffic is the initial operand load and the (ks, Ks) gain write-back. This
-is the "fused Pallas Cholesky/Riccati sweep" the BASELINE north star
-names.
+trace-time-unrolled scalar rows (a column-vectorized rank-1 variant
+exists and measured SLOWER — see riccati_sweep_pallas `impl`), and the
+only HBM traffic is the initial operand load and the (ks, Ks) gain
+write-back. This is the "fused Pallas Cholesky/Riccati sweep" the
+BASELINE north star names.
 
 Mosaic discipline: every value stays rank-2 ((n,1) columns, (1,1)
 "scalars") — rank-1 vectors pick up implicit tiling dims that the TPU
@@ -26,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,33 +47,93 @@ def _mm(a, b):
     )
 
 
+def _chol_solve_cols(Quu, RHS, m: int, lam=0.0):
+    """Solve Quu X = RHS for SPD Quu (m, m), RHS (m, r): COLUMN-vectorized
+    Cholesky with PIVOT DROPPING.
+
+    Same algorithm as _chol_solve_rows expressed as m rank-1 Schur updates
+    + 2m rank-1 substitution updates on whole (m,m)/(m,r) tiles — an ~8x
+    shorter dependence chain than the row version's ~800 sequential
+    (1,1)-scalar ops (right-looking vs left-looking Cholesky; f32 rounding
+    differs only in summation order). Measured SLOWER on the v5e despite
+    that (1.58 vs 1.16 ms/sweep at torso sizes — each rank-1 update pays
+    tile-wide read-modify-write traffic that outweighs the chain
+    shortening), so it is NOT the default; kept as the vectorized
+    reference formulation and for re-evaluation on future chips.
+
+    Robustness semantics preserved from the row version:
+      * Jacobi equilibration to unit diagonal first — the ~1e5 scale
+        spread between actuator classes (gripper cuu ~2e-3 vs arm B'VxxB
+        ~1e2) squares into the condition number; scaling removes it
+        before the f32 factorization sees it.
+      * Quu = cuu + B'VxxB is SPD analytically, but near-uncontrollable
+        directions push small eigenvalues below the f32 noise of the
+        product; pivots of the equilibrated matrix below an absolute
+        1e-5 floor are DROPPED: no Schur update, zero gain in that
+        direction — a truncated pseudo-inverse instead of an exploding
+        inverse.
+    """
+    dt = Quu.dtype
+    eye = jnp.eye(m, dtype=dt)
+    diag = jnp.sum(Quu * eye, axis=1, keepdims=True) + lam  # (m, 1)
+    dscale = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))  # (m, 1)
+    # S = D (Quu + lam I) D: unit diagonal exactly (matches the row
+    # version, which seeds every pivot recurrence at 1.0)
+    S = dscale * Quu * dscale.T
+    S = S - S * eye + eye
+    floor = 1e-5
+    # unit vectors / below-diagonal masks as in-kernel ops (Pallas rejects
+    # captured numpy-array constants); j is static, so these fold at
+    # compile time
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    # L / keepvec built by masked accumulation, NOT jnp.concatenate —
+    # Mosaic rejects concatenating tiles whose sublane offsets differ on
+    # the non-concat dim ("result/input offset mismatch"), which is
+    # exactly what a list of (1,1)/(m,1) slices produces
+    L = jnp.zeros((m, m), dt)
+    keepvec = jnp.zeros((m, 1), dt)
+    keeps = []
+    for j in range(m):
+        ej = eye[:, j : j + 1]
+        below = (row_idx >= j).astype(dt)
+        pivot = S[j : j + 1, j : j + 1]  # (1, 1)
+        keep = pivot > floor
+        d = jnp.sqrt(jnp.where(keep, pivot, 1.0))
+        l = jnp.where(keep, (S[:, j : j + 1] * below) / d, 0.0)  # (m, 1)
+        S = S - _mm(l, l.T)  # rank-1 Schur complement update
+        L = L + jnp.where(keep, l, ej) * eye[j : j + 1, :]  # col j only
+        keepvec = keepvec + jnp.where(keep, ej, 0.0)
+        keeps.append(jnp.where(keep, jnp.ones((1, 1), dt), 0.0))
+
+    # forward solve L y = D b: per column one rank-1 update. The update
+    # direction (Lcol_j - e_j) both eliminates below-diagonal entries and
+    # REPLACES row j with y_j itself (row j: y_j - (L_jj - 1) t = t).
+    Y = RHS * dscale
+    for j in range(m):
+        ej = eye[:, j : j + 1]
+        t = (Y[j : j + 1, :] / L[j : j + 1, j : j + 1]) * keeps[j]
+        Y = Y - _mm(L[:, j : j + 1] - ej, t)
+    # backward solve L^T z = y: same trick on L^T's columns (= L's rows)
+    LT = L.T
+    Z = Y
+    for j in range(m - 1, -1, -1):
+        ej = eye[:, j : j + 1]
+        t = (Z[j : j + 1, :] / LT[j : j + 1, j : j + 1]) * keeps[j]
+        Z = Z - _mm(LT[:, j : j + 1] - ej, t)
+    # dropped directions: t was zeroed, so row j kept its (meaningless)
+    # pre-substitution residual — mask it out, then undo the equilibration
+    return dscale * (Z * keepvec)  # X = D z, (m, r)
+
+
 def _chol_solve_rows(Quu, RHS, m: int, lam=0.0):
-    """Solve Quu X = RHS for SPD Quu (m, m), RHS (m, r): trace-time-unrolled
-    Cholesky with PIVOT DROPPING; intermediates are (1, 1) scalars or
-    (1, r) rows.
-
-    Quu = cuu + B'VxxB is SPD analytically, but near-uncontrollable
-    directions push its small eigenvalues below the f32 noise of the
-    B'VxxB product — a plain no-pivot factorization then breaks down
-    (negative pivot -> NaN, or a denormal pivot -> gains ~1e5 that
-    overflow the value recursion within ~20 steps; both observed at torso
-    sizes). When a pivot falls below 1e-6 x the largest diagonal, its
-    direction is DROPPED: the column is zeroed and the substitution
-    returns zero gain there — the solve restricted to the well-conditioned
-    principal subspace, i.e. a truncated pseudo-inverse rather than an
-    exploding inverse.
-
-    The matrix is first diagonally equilibrated (Jacobi scaling to unit
-    diagonal): the dominant ill-conditioning is the ~1e5 scale spread
-    between actuator classes (gripper cuu ~2e-3 vs arm B'VxxB ~1e2),
-    which squares into the condition number; scaling removes it before
-    the f32 factorization sees it."""
+    """Row/scalar-unrolled variant of _chol_solve_cols (identical math and
+    drop semantics; ~800 sequential (1,1)-scalar ops at m=20). Kept for
+    A/B benchmarking (tools/exp_riccati_kernel.py) and as the reference
+    formulation; the sweep kernel uses the column version."""
     dscale = [None] * m
     for j in range(m):
         dj = Quu[j : j + 1, j : j + 1] + lam  # implicit Quu + lam*I
         dscale[j] = 1.0 / jnp.sqrt(jnp.maximum(dj, 1e-30))
-    # S = D (Quu + lam I) D has unit diagonal; pivots of a
-    # well-conditioned S are O(1), so the drop threshold is absolute
     floor = 1e-5
     L = [[None] * m for _ in range(m)]
     keep = [None] * m
@@ -97,18 +159,20 @@ def _chol_solve_rows(Quu, RHS, m: int, lam=0.0):
     for i in range(m - 1, -1, -1):
         s = y[i]
         for t in range(i + 1, m):
-            s = s - L[t][i] * z[t]  # z (scaled solution), NOT the rescaled X
+            s = s - L[t][i] * z[t]
         z[i] = jnp.where(keep[i], s / L[i][i], 0.0)
-    return jnp.concatenate(
-        [z[i] * dscale[i] for i in range(m)], axis=0
-    )  # X = D z, (m, r)
+    return jnp.concatenate([z[i] * dscale[i] for i in range(m)], axis=0)
+
+
+_CHOL_IMPLS = {"cols": _chol_solve_cols, "rows": _chol_solve_rows}
 
 
 def _sweep_kernel(
-    H: int, n: int, m: int, reg: float,
+    H: int, n: int, m: int, reg: float, impl: str,
     A_ref, B_ref, cx_ref, cu_ref, cxx_ref, cuu_ref, cux_ref,
     VxT_ref, VxxT_ref, ks_ref, Ks_ref,
 ):
+    chol_solve = _CHOL_IMPLS[impl]
     eye_u = jnp.eye(m, dtype=jnp.float32) * reg
 
     def body(i, carry):
@@ -150,7 +214,7 @@ def _sweep_kernel(
         lam = 1e-5 * amax + jnp.maximum(0.0, 1e-4 * amax - gersh_min)
 
         RHS = jnp.concatenate([Qu, Qux], axis=1)  # (m, 1+n)
-        Kk = -_chol_solve_rows(Quu, RHS, m, lam)
+        Kk = -chol_solve(Quu, RHS, m, lam)
         kff, K = Kk[:, 0:1], Kk[:, 1:]  # (m, 1), (m, n)
 
         # variational (expanded) value update with Quu_eff = Quu + lam I:
@@ -173,17 +237,23 @@ def _sweep_kernel(
 
 def riccati_sweep_pallas(
     A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, reg: float,
-    interpret: bool = False,
+    interpret: bool = False, impl: str = "rows",
 ):
     """Full regularized LQR backward sweep. A: (H,n,n), B: (H,n,m), cost
     derivatives per step, terminal (Vx_T (n,), Vxx_T (n,n)). Returns
     (ks (H,m), Ks (H,m,n)). `interpret=True` runs the kernel through the
-    pallas interpreter (CPU oracle for tests)."""
+    pallas interpreter (CPU oracle for tests); `impl` selects the in-kernel
+    Cholesky formulation. A/B on the v5e (tools/exp_riccati_kernel.py,
+    torso-sized H=100 n=40 m=20, 50 chained sweeps/dispatch): rows 1.16 ms
+    vs cols 1.58 ms per sweep — the scalar-row chain wins despite its ~8x
+    longer dependence chain, because Mosaic issues the (1,1) ops back to
+    back while each rank-1 column update pays tile-wide read-modify-write
+    traffic; "rows" is therefore the default."""
     H, n, _ = A.shape
     m = B.shape[2]
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_sweep_kernel, H, n, m, float(reg)),
+        partial(_sweep_kernel, H, n, m, float(reg), impl),
         out_shape=(
             jax.ShapeDtypeStruct((H, m), A.dtype),
             jax.ShapeDtypeStruct((H, m, n), A.dtype),

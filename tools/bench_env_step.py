@@ -30,6 +30,14 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# The env var alone is NOT enough under the axon tunnel: its plugin
+# overrides platform selection, silently routing every jitted call through
+# the ~25 ms/sync TPU RPC (first measured as a 40x "CPU" slowdown here).
+# The config update after import is what actually pins the host platform.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 N_WARM = 5
 
 
