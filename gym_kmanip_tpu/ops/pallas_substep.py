@@ -457,6 +457,153 @@ def substep_batched(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Feedback-rollout megakernel: the iLQR line-search / nominal forward pass
+# (u = clip(u_nom + alpha*k + K (x - x_nom)); x' = f(x, u)) for ALL alpha
+# candidates over the WHOLE horizon as ONE kernel launch.
+#
+# Why: at line-search batch sizes (6 alphas, or batch-1 nominal rollouts)
+# the scanned per-substep kernel is pure launch/scan overhead — ~7-10 us
+# per horizon step against ~1 us of 128-lane compute, ~1.5 ms per fused
+# iLQR iteration at torso H=100. Keeping the state VMEM-resident across
+# the horizon removes exactly that. (The MPPI megakernel above is ~1x vs
+# the scanned chain at K>=256 because compute dominates there; this one
+# exists for the small-batch regime where it doesn't.)
+#
+# Supports the REDUCED iLQR state layout (x = [qpos, qvel], cube pinned at
+# the template state; ILQRConfig.reduced_state, which requires
+# contact=False) — the only regime the fused iLQR bench runs in.
+# ---------------------------------------------------------------------------
+
+
+def _rollout_feedback_kernel(
+    model: RobotModel,
+    dt: float,
+    horizon: int,
+    n_substeps: int,
+    implicit_actuation: bool,
+    clip_lo: tuple,
+    clip_hi: tuple,
+    alphas_ref, x0_ref, cube0_ref, xs_nom_ref, us_nom_ref, ks_ref, Ks_ref,
+    xs_out_ref, us_out_ref,
+):
+    nq, nu = model.nq, model.nu
+    n = 2 * nq
+    alpha = alphas_ref[0:1, :]  # (1, B)
+    zero = alpha * 0.0
+
+    def bval(ref, i):
+        # (1,1) scalar from a (rows,1) block, broadcast over lanes
+        return zero + ref[i : i + 1, 0:1]
+
+    q0 = tuple(bval(x0_ref, j) for j in range(nq))
+    v0 = tuple(bval(x0_ref, nq + j) for j in range(nq))
+    # cube rows pinned at the template every control step (reduced layout:
+    # contact=False decouples it; f_fast re-reads the template each step)
+    cube_rows = tuple(bval(cube0_ref, c) for c in range(13))
+    cube_t = dict(
+        pos=cube_rows[0:3],
+        quat=cube_rows[3:7],
+        lv=cube_rows[7:10],
+        av=cube_rows[10:13],
+    )
+
+    def body(h, carry):
+        q, v = carry
+        xn = xs_nom_ref[h]  # (n, 1)
+        un = us_nom_ref[h]  # (nu, 1)
+        kf = ks_ref[h]  # (nu, 1)
+        Kh = Ks_ref[h]  # (nu, n)
+        dx = [q[j] - xn[j : j + 1, 0:1] for j in range(nq)] + [
+            v[j] - xn[nq + j : nq + j + 1, 0:1] for j in range(nq)
+        ]
+        ctrl = []
+        for i in range(nu):
+            acc = un[i : i + 1, 0:1] + alpha * kf[i : i + 1, 0:1]  # (1, B)
+            for j in range(n):
+                acc = acc + Kh[i : i + 1, j : j + 1] * dx[j]
+            ctrl.append(jnp.clip(acc, clip_lo[i], clip_hi[i]))
+        cube = dict(cube_t)
+        for _ in range(n_substeps):
+            q_out, v_out, cube, _touch, _x, _qq = _substep_core(
+                model, dt, False, implicit_actuation, list(q), list(v),
+                ctrl, cube,
+            )
+            q, v = tuple(q_out), tuple(v_out)
+        for j in range(nq):
+            xs_out_ref[h, j : j + 1, :] = q[j]
+            xs_out_ref[h, nq + j : nq + j + 1, :] = v[j]
+        for i in range(nu):
+            us_out_ref[h, i : i + 1, :] = ctrl[i]
+        return q, v
+
+    jax.lax.fori_loop(0, horizon, body, (q0, v0), unroll=False)
+
+
+def rollout_feedback(
+    model: RobotModel,
+    x0: jax.Array,  # (2*nq,) reduced initial state
+    cube0: jax.Array,  # (13,) template cube state (pos, quat, lv, av)
+    xs_nom: jax.Array,  # (H, 2*nq) nominal states
+    us_nom: jax.Array,  # (H, nu) nominal controls
+    ks: jax.Array,  # (H, nu) feedforward gains
+    Ks: jax.Array,  # (H, nu, 2*nq) feedback gains
+    alphas: jax.Array,  # (B,) line-search step sizes
+    n_substeps: int = 1,
+    dt: float = k.CONTROL_TIMESTEP,
+    implicit_actuation: bool = True,
+    interpret: bool = False,
+):
+    """One kernel launch for the whole (B alphas, H steps) feedback
+    rollout. Returns (xs (B, H, n), us (B, H, nu)) — post-step states per
+    step, controls as applied (clipped to ctrl_range, exactly like the
+    scan-path line search in solvers/ilqr.linesearch).
+
+    Pinned to the scan path by tests/test_pallas.py (interpret oracle) and
+    used by the fused iLQR solve for the line search AND the nominal
+    rollout (alphas=[1], zero gains — note the nominal path therefore
+    clips u to ctrl_range, which the scan rollout0 does not; identical for
+    any in-range u, and every accepted iterate is in range by
+    construction)."""
+    H, n = xs_nom.shape
+    nq, nu = model.nq, model.nu
+    assert n == 2 * nq, "rollout_feedback supports the reduced layout only"
+    B = alphas.shape[0]
+    Bp = max(128, -(-B // 128) * 128)
+    f32 = jnp.float32
+    al = jnp.pad(jnp.asarray(alphas, f32), (0, Bp - B), mode="edge")
+
+    lo = tuple(float(v) for v in model.ctrl_range[:, 0])
+    hi = tuple(float(v) for v in model.ctrl_range[:, 1])
+    kernel = partial(
+        _rollout_feedback_kernel, model, dt, H, n_substeps,
+        implicit_actuation, lo, hi,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    xs, us = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((H, n, Bp), f32),
+            jax.ShapeDtypeStruct((H, nu, Bp), f32),
+        ),
+        in_specs=[vmem] * 7,
+        out_specs=(vmem, vmem),
+        interpret=interpret,
+    )(
+        al.reshape(1, Bp),
+        jnp.asarray(x0, f32).reshape(n, 1),
+        jnp.asarray(cube0, f32).reshape(13, 1),
+        jnp.asarray(xs_nom, f32).reshape(H, n, 1),
+        jnp.asarray(us_nom, f32).reshape(H, nu, 1),
+        jnp.asarray(ks, f32).reshape(H, nu, 1),
+        jnp.asarray(Ks, f32),
+    )
+    return (
+        xs[:, :, :B].transpose(2, 0, 1),
+        us[:, :, :B].transpose(2, 0, 1),
+    )
+
+
 class PickCostSpec(NamedTuple):
     """Host-side spec of cube_pick_cost (mpc/cost.py) for the fused kernel.
 

@@ -173,8 +173,38 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
     def total_cost(xs, us):
         return jax.vmap(cost_xu)(xs[:-1], us).sum() + cost_final(xs[-1])
 
+    # Whole-horizon feedback-rollout megakernel for the line search and
+    # nominal rollout (ops/pallas_substep.rollout_feedback): at batch 1-6
+    # the scanned per-substep kernel is launch/scan-bound (~7-10 us/step
+    # of overhead), ~1.5 ms per iteration at torso H=100. Reduced layout
+    # only (the kernel pins the cube), f32, TPU.
+    use_fb_kernel = (
+        cfg.fast_rollouts
+        and cfg.reduced_state
+        and str(dtype) == "float32"
+        and jax.default_backend() == "tpu"
+    )
+
+    def _cube0():
+        return jnp.concatenate(
+            [template.cube_pos, template.cube_quat,
+             template.cube_linvel, template.cube_angvel]
+        ).astype(dtype)
+
     @jax.jit
     def rollout0(x0, us):
+        if use_fb_kernel:
+            from gym_kmanip_tpu.ops.pallas_substep import rollout_feedback
+
+            H_ = us.shape[0]
+            xs_t, us_c = rollout_feedback(
+                model, x0, _cube0(), jnp.zeros((H_, n), dtype), us,
+                jnp.zeros_like(us), jnp.zeros((H_, nu, n), dtype),
+                jnp.ones((1,), dtype), n_substeps=cfg.n_substeps, dt=cfg.dt,
+            )
+            xs = jnp.concatenate([x0[None], xs_t[0]], axis=0)
+            return xs, total_cost(xs, us_c[0])
+
         def body(x, u):
             # batch-of-1 vmap so the fused kernel serves the nominal rollout
             # too (the unbatched jnp path is ~40x slower per step on TPU)
@@ -318,6 +348,20 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
     @jax.jit
     def linesearch(x0, xs, us, ks, Ks):
         alphas = jnp.asarray(cfg.alphas, dtype=dtype)
+        if use_fb_kernel:
+            from gym_kmanip_tpu.ops.pallas_substep import rollout_feedback
+
+            xs_t, us_c = rollout_feedback(
+                model, x0, _cube0(), xs[:-1], us, ks, Ks, alphas,
+                n_substeps=cfg.n_substeps, dt=cfg.dt,
+            )
+            nA = len(cfg.alphas)
+            xs_c = jnp.concatenate(
+                [jnp.broadcast_to(x0, (nA, 1, n)), xs_t], axis=1
+            )
+            costs_c = jax.vmap(total_cost)(xs_c, us_c)
+            best = jnp.argmin(costs_c)
+            return xs_c[best], us_c[best], costs_c[best]
 
         def forward(alpha):
             def body(x, inp):

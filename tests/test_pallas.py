@@ -312,3 +312,70 @@ def test_fused_pick_solver_matches_plain_mppi():
     np.testing.assert_allclose(
         np.asarray(ms_f.nominal), np.asarray(ms_p.nominal), atol=1e-5
     )
+
+
+def test_rollout_feedback_megakernel_matches_scan_forward():
+    """The feedback-rollout megakernel (iLQR line-search forward in one
+    launch) must reproduce the scan-path forward: u = clip(u_nom + a*k +
+    K(x - x_nom)), x' = f_fast(x, u), reduced layout, for several alphas
+    including 0 (pure nominal replay) and 1."""
+    from gym_kmanip_tpu.dynamics.state import init_state
+    from gym_kmanip_tpu.models import get_model
+    from gym_kmanip_tpu.mpc.rollout import mpc_step
+    from gym_kmanip_tpu.ops.pallas_substep import rollout_feedback
+    from gym_kmanip_tpu.solvers.ilqr import flatten_state, unflatten_state
+
+    m = get_model("solo_arm")
+    s0 = init_state(m)
+    H, n, nu = 6, 2 * m.nq, m.nu
+    rng = np.random.RandomState(5)
+    x0 = flatten_state(s0, reduced=True)
+    home = np.asarray(m.home_qpos[:nu], np.float32)
+    us_nom = jnp.asarray(
+        home[None] + 0.05 * rng.randn(H, nu), jnp.float32
+    )
+    xs_nom = jnp.asarray(
+        np.asarray(x0)[None] + 0.02 * rng.randn(H, n), jnp.float32
+    )
+    ks = jnp.asarray(0.03 * rng.randn(H, nu), jnp.float32)
+    Ks = jnp.asarray(0.05 * rng.randn(H, nu, n), jnp.float32)
+    alphas = jnp.asarray([0.0, 0.3, 1.0], jnp.float32)
+    lo = jnp.asarray(m.ctrl_range[:, 0], jnp.float32)
+    hi = jnp.asarray(m.ctrl_range[:, 1], jnp.float32)
+
+    def f_fast(x, u):
+        s = unflatten_state(m, x, s0)
+        s2, _ = mpc_step(m, s, u, 1, 0.02, contact=False,
+                         unrolled_solve=True)
+        return flatten_state(s2, reduced=True)
+
+    def forward(alpha):
+        def body(x, inp):
+            x_nom, u_nom, kff, K = inp
+            u = jnp.clip(u_nom + alpha * kff + K @ (x - x_nom), lo, hi)
+            x2 = jax.vmap(f_fast)(x[None], u[None])[0]
+            return x2, (x2, u)
+
+        _, (xs_t, us_t) = jax.lax.scan(body, x0, (xs_nom, us_nom, ks, Ks))
+        return xs_t, us_t
+
+    xs_ref = []
+    us_ref = []
+    for a in np.asarray(alphas):
+        xs_t, us_t = jax.jit(forward)(jnp.float32(a))
+        xs_ref.append(np.asarray(xs_t))
+        us_ref.append(np.asarray(us_t))
+
+    cube0 = jnp.concatenate(
+        [s0.cube_pos, s0.cube_quat, s0.cube_linvel, s0.cube_angvel]
+    )
+    xs_k, us_k = rollout_feedback(
+        m, x0, cube0, xs_nom, us_nom, ks, Ks, alphas, n_substeps=1,
+        dt=0.02, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(us_k), np.stack(us_ref), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(xs_k), np.stack(xs_ref), atol=5e-4, rtol=1e-3
+    )

@@ -275,6 +275,22 @@ def bc_bench():
     report("bc_pick_success_rate", bc_rate, "fraction", bc_rate)
 
 
+def zoo_bench():
+    """Closed-loop success of the SHIPPED policy artifacts (no training:
+    the artifact is the product — bc_bench above covers the pipeline)."""
+    import importlib
+
+    from gym_kmanip_tpu import zoo
+
+    if "bc_pick_solo" not in zoo.list_policies():
+        return
+    bc = importlib.import_module("gym_kmanip_tpu.examples.13_bc_pick")
+    policy, meta = zoo.load_policy("bc_pick_solo")
+    rate = bc.evaluate(policy, n_evals=3 if QUICK else 10,
+                       ep_len=120, log=lambda *a: None)
+    report("zoo_bc_pick_success_rate", rate, "fraction", rate)
+
+
 if __name__ == "__main__":
     mppi_benches()
     dual_arm_bench()
@@ -284,3 +300,4 @@ if __name__ == "__main__":
     scaling_bench()
     vec_env_bench()
     bc_bench()
+    zoo_bench()
