@@ -279,9 +279,12 @@ def substep_cost(model):
     return float(an.get("flops", 0.0)), float(2 * state_bytes)
 
 
-def ilqr_rate():
-    """Fused single-dispatch iLQR (torso H=100, n_iters=10): solves/s.
-    vs the 50 Hz real-time bar; r1 measured 0.33 s/solve (3 Hz)."""
+def ilqr_rate(model_name="torso", horizon=100):
+    """Fused single-dispatch iLQR (n_iters=10): solves/s vs the 50 Hz
+    real-time bar. Two rows: the torso H=100 STRESS config (22 dof,
+    longest horizon; r1 measured 0.33 s/solve = 3 Hz there) and the
+    solo-arm H=50 config matching BASELINE.md's '>50 Hz SoloArm MPC @
+    H=50' row — the flagship deployment shape."""
     import jax
     import jax.numpy as jnp
 
@@ -292,7 +295,7 @@ def ilqr_rate():
         ILQRConfig, ilqr_solve, unflatten_state,
     )
 
-    model = get_model("torso")
+    model = get_model(model_name)
     state0 = init_state(model)
     xp, xq, _ = kin.fk(model, state0.qpos)
     p, _ = kin.site_pose(model, xp, xq, "eer_site")
@@ -308,10 +311,10 @@ def ilqr_rate():
             + 0.001 * jnp.sum(u**2)
         )
 
-    H = 100
+    H = horizon
     # reduced_state: contact=False decouples the cube, so the solver state
-    # is [qpos, qvel] (n=40, not 53) — exact for this cube-free cost, and
-    # 2.3x smaller Riccati matmuls (solvers/ilqr.ILQRConfig.reduced_state)
+    # is [qpos, qvel] (torso n=40, not 53) — exact for this cube-free cost,
+    # and 2.3x smaller Riccati matmuls (solvers/ilqr.ILQRConfig.reduced_state)
     cfg = ILQRConfig(horizon=H, n_iters=10, contact=False, reduced_state=True)
     us = jnp.tile(
         jnp.asarray(model.home_qpos[: model.nu], dtype=jnp.float32), (H, 1)
@@ -431,11 +434,17 @@ def main():
 
     if os.environ.get("BENCH_ILQR", "1") != "0":
         try:
-            rate = ilqr_rate()
+            rate = ilqr_rate("torso", 100)
             _emit("ilqr_solves_per_sec_torso_H100_10iter", rate, "solves/s",
                   rate / 50.0)
         except Exception as e:  # noqa: BLE001
-            _emit_error("ilqr", e)
+            _emit_error("ilqr_torso", e)
+        try:
+            rate = ilqr_rate("solo_arm", 50)
+            _emit("ilqr_solves_per_sec_solo_H50_10iter", rate, "solves/s",
+                  rate / 50.0)
+        except Exception as e:  # noqa: BLE001
+            _emit_error("ilqr_solo", e)
 
     try:
         cl_hz = closed_loop(model)

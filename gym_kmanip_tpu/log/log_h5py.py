@@ -83,6 +83,8 @@ def step(
         f["observations/qpos"][idx] = observation["q_pos"]
     if "q_vel" in observation:
         f["observations/qvel"][idx] = observation["q_vel"]
-    for cam_ in info["cameras"]:
+    # camera-less recordings (state-only experts, examples/13_bc_pick.py)
+    # simply have no image datasets — mirror new()'s tolerance
+    for cam_ in info.get("cameras", ()):
         f[f"/observations/images/{cam_.name}"][idx] = observation[cam_.log_name]
     f.flush()

@@ -170,10 +170,11 @@ _CHOL_IMPLS = {"cols": _chol_solve_cols, "rows": _chol_solve_rows}
 def _sweep_kernel(
     H: int, n: int, m: int, reg: float, impl: str,
     A_ref, B_ref, cx_ref, cu_ref, cxx_ref, cuu_ref, cux_ref,
-    VxT_ref, VxxT_ref, ks_ref, Ks_ref,
+    VxT_ref, VxxT_ref, lam_ref, ks_ref, Ks_ref,
 ):
     chol_solve = _CHOL_IMPLS[impl]
     eye_u = jnp.eye(m, dtype=jnp.float32) * reg
+    lam_extra = lam_ref[0:1, 0:1]  # (1,1) adaptive Levenberg multiplier
 
     def body(i, carry):
         Vx, Vxx = carry  # (n, 1), (n, n)
@@ -211,7 +212,15 @@ def _sweep_kernel(
         diag_col = jnp.sum(Quu * eye_m, axis=1, keepdims=True)  # (m, 1)
         off_col = jnp.sum(jnp.abs(Quu), axis=1, keepdims=True) - jnp.abs(diag_col)
         gersh_min = jnp.min(diag_col - off_col)  # rank-0 lower eig bound
-        lam = 1e-5 * amax + jnp.maximum(0.0, 1e-4 * amax - gersh_min)
+        # base lift (Gershgorin PD guarantee + f32-noise floor) plus the
+        # ADAPTIVE multiplier threaded by the iLQR iteration loop (rises
+        # x32 on each failed line search, decays x0.25 on success —
+        # solvers/ilqr.iteration); lam stays a (1,1) tile
+        lam = (
+            1e-5 * amax
+            + jnp.maximum(0.0, 1e-4 * amax - gersh_min)
+            + lam_extra * amax
+        )
 
         RHS = jnp.concatenate([Qu, Qux], axis=1)  # (m, 1+n)
         Kk = -chol_solve(Quu, RHS, m, lam)
@@ -237,20 +246,25 @@ def _sweep_kernel(
 
 def riccati_sweep_pallas(
     A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, reg: float,
-    interpret: bool = False, impl: str = "rows",
+    interpret: bool = False, impl: str = "rows", lam_extra=None,
 ):
     """Full regularized LQR backward sweep. A: (H,n,n), B: (H,n,m), cost
     derivatives per step, terminal (Vx_T (n,), Vxx_T (n,n)). Returns
     (ks (H,m), Ks (H,m,n)). `interpret=True` runs the kernel through the
-    pallas interpreter (CPU oracle for tests); `impl` selects the in-kernel
-    Cholesky formulation. A/B on the v5e (tools/exp_riccati_kernel.py,
-    torso-sized H=100 n=40 m=20, 50 chained sweeps/dispatch): rows 1.16 ms
-    vs cols 1.58 ms per sweep — the scalar-row chain wins despite its ~8x
-    longer dependence chain, because Mosaic issues the (1,1) ops back to
-    back while each rank-1 column update pays tile-wide read-modify-write
-    traffic; "rows" is therefore the default."""
+    pallas interpreter (CPU oracle for tests); `lam_extra` is the adaptive
+    Levenberg multiplier (traced scalar; None/0 = base lift only); `impl`
+    selects the in-kernel Cholesky formulation. A/B on the v5e
+    (tools/exp_riccati_kernel.py, torso-sized H=100 n=40 m=20, 50 chained
+    sweeps/dispatch): rows 1.16 ms vs cols 1.58 ms per sweep — the
+    scalar-row chain wins despite its ~8x longer dependence chain, because
+    Mosaic issues the (1,1) ops back to back while each rank-1 column
+    update pays tile-wide read-modify-write traffic; "rows" is therefore
+    the default."""
     H, n, _ = A.shape
     m = B.shape[2]
+    if lam_extra is None:
+        lam_extra = 0.0
+    lam_arr = jnp.asarray(lam_extra, A.dtype).reshape(1, 1)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_sweep_kernel, H, n, m, float(reg), impl),
@@ -258,7 +272,7 @@ def riccati_sweep_pallas(
             jax.ShapeDtypeStruct((H, m), A.dtype),
             jax.ShapeDtypeStruct((H, m, n), A.dtype),
         ),
-        in_specs=[vmem] * 9,
+        in_specs=[vmem] * 10,
         out_specs=(vmem, vmem),
         interpret=interpret,
-    )(A, B, cx, cu, cxx, cuu, cux, Vx_T.reshape(n, 1), Vxx_T)
+    )(A, B, cx, cu, cxx, cuu, cux, Vx_T.reshape(n, 1), Vxx_T, lam_arr)

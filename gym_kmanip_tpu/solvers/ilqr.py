@@ -301,7 +301,14 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
         return A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T
 
     @jax.jit
-    def backward(A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T):
+    def backward(A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, lam_extra):
+        """Regularized backward sweep. `lam_extra` is the ADAPTIVE
+        Levenberg multiplier threaded by the iteration loop (0 until a
+        line search fails; see iteration): each step's Quu gets an extra
+        lam_extra * max|Quu| lift, pulling the gains toward the gradient
+        direction — the classic iLQR remedy for exploding feedforward on
+        ill-conditioned problems (solo-arm H=50 produced ‖k‖~1e5 and a
+        permanently stalled line search without it)."""
         if cfg.parallel_backward:
             from gym_kmanip_tpu.solvers.parallel_lqr import (
                 LQRProblem,
@@ -309,9 +316,16 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
             )
 
             H = A.shape[0]
+            # associative form has no per-step B'VxxB available before the
+            # scan, so the adaptive lift scales with |cuu| only — identical
+            # to the serial path whenever lam_extra == 0 (the equivalence
+            # tests' regime)
+            amax_c = jnp.max(jnp.abs(cuu), axis=(1, 2))[:, None, None] + 1.0
             prob = LQRProblem(
                 A=A, B=B, d=jnp.zeros((H, n), dtype=A.dtype),
-                Q=cxx, q=cx, R=cuu + cfg.reg * eye_u[None], r=cu, L=cux,
+                Q=cxx, q=cx,
+                R=cuu + (cfg.reg + lam_extra * amax_c) * eye_u[None],
+                r=cu, L=cux,
                 Qf=Vxx_T, qf=Vx_T,
             )
             Ks, ks = backward_associative(prob)
@@ -321,7 +335,8 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
             from gym_kmanip_tpu.ops.pallas_riccati import riccati_sweep_pallas
 
             return riccati_sweep_pallas(
-                A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, cfg.reg
+                A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, cfg.reg,
+                lam_extra=lam_extra,
             )
 
         def step(carry, inp):
@@ -333,6 +348,7 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
             Quu = cuu_t + B_t.T @ Vxx @ B_t + cfg.reg * eye_u
             Qux = cux_t + B_t.T @ Vxx @ A_t
             Quu = 0.5 * (Quu + Quu.T)
+            Quu = Quu + (lam_extra * jnp.max(jnp.abs(Quu))) * eye_u
             Kk = -jnp.linalg.solve(Quu, jnp.concatenate([Qu[:, None], Qux], axis=1))
             kff, K = Kk[:, 0], Kk[:, 1:]
             Vx_n = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
@@ -381,18 +397,29 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
         return xs_c[best], us_c[best], costs_c[best]
 
     @jax.jit
-    def iteration(x0, xs, us, cost):
+    def iteration(x0, xs, us, cost, lam=0.0):
         """One full iLQR iteration (derivs -> backward -> line search ->
         monotone accept) as ONE dispatch: with the FD linearization, the
         Pallas Riccati sweep, and the fused forward passes, the per-piece
         graphs are small enough to jit together, so the host loop costs a
-        single device round-trip per iteration instead of three."""
-        ks, Ks = backward(*derivs(xs, us))
+        single device round-trip per iteration instead of three.
+
+        `lam` is the adaptive Levenberg state: 0 while line searches
+        succeed (bitwise-legacy gains); a failed line search bumps it
+        (x32 from 1e-3) so the next backward leans toward the gradient,
+        and successes decay it (x0.25) back toward the pure Newton step —
+        the standard trust-region-style outer loop, kept inside the
+        compiled program."""
+        lam = jnp.asarray(lam, dtype=dtype)
+        ks, Ks = backward(*derivs(xs, us), lam)
         xs_c, us_c, cost_c = linesearch(x0, xs, us, ks, Ks)
         better = cost_c < cost
         xs_n = jnp.where(better, xs_c, xs)
         us_n = jnp.where(better, us_c, us)
-        return xs_n, us_n, jnp.minimum(cost_c, cost)
+        lam_n = jnp.where(
+            better, lam * 0.25, jnp.maximum(lam * 32.0, 1e-3)
+        )
+        return xs_n, us_n, jnp.minimum(cost_c, cost), lam_n
 
     @jax.jit
     def solve_fused(x0, us):
@@ -403,12 +430,13 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
         xs, cost = rollout0(x0, us)
 
         def body(carry, _):
-            xs, us, cost = carry
-            xs, us, cost = iteration(x0, xs, us, cost)
-            return (xs, us, cost), cost
+            xs, us, cost, lam = carry
+            xs, us, cost, lam = iteration(x0, xs, us, cost, lam)
+            return (xs, us, cost, lam), cost
 
-        (xs, us, cost), trace = jax.lax.scan(
-            body, (xs, us, cost), None, length=cfg.n_iters
+        lam0 = jnp.asarray(0.0, dtype=dtype)
+        (xs, us, cost, _lam), trace = jax.lax.scan(
+            body, (xs, us, cost, lam0), None, length=cfg.n_iters
         )
         return xs, us, cost, trace
 
@@ -471,11 +499,12 @@ def _run_pieces(pieces, cfg, state0, u_init) -> ILQRResult:
         return ILQRResult(us=us, xs=xs, cost=cost, cost_trace=trace)
     xs, cost = rollout0(x0, u_init)
     us = u_init
+    lam = jnp.asarray(0.0, dtype=u_init.dtype)
     costs = []
     for _ in range(cfg.n_iters):
         # no host sync inside the loop: iterations dispatch asynchronously
         # and pipeline behind each other
-        xs, us, cost = iteration(x0, xs, us, cost)
+        xs, us, cost, lam = iteration(x0, xs, us, cost, lam)
         costs.append(cost)
     trace = [float(c) for c in costs]
     return ILQRResult(

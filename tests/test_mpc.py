@@ -340,6 +340,52 @@ def test_ilqr_reduced_state_matches_full():
         )
 
 
+def test_ilqr_adaptive_lambda_schedule():
+    """The failure-driven Levenberg state: a rejected line search must
+    bump lam (x32 from the 1e-3 floor), an accepted one must decay it
+    (x0.25), and larger lam must shrink the gains (pulling toward the
+    gradient direction). Regression context: on the real solo model the
+    first backward produces ‖k‖~1e5 (Quu near-singular along gripper
+    directions) and without this adaptation the fused solve stalls at the
+    nominal cost forever — measured flat trace on TPU, rescued trace
+    254 -> 1.2 after the fix (verified on-chip; the full solo solve is
+    too heavy to compile on the CPU CI tier)."""
+    from gym_kmanip_tpu.solvers.ilqr import (
+        ILQRConfig, _pieces, _zero_final, flatten_state, unflatten_state,
+    )
+
+    tiny = _tiny_model()
+    sim0 = init_state(tiny)
+
+    def cost_xu(x, u):
+        s = unflatten_state(tiny, x, sim0)
+        return 10.0 * jnp.sum(s.qpos**2) + 1e-2 * jnp.sum(u**2)
+
+    cfg = ILQRConfig(horizon=4, n_iters=2, contact=False,
+                     reduced_state=True)
+    pieces = _pieces(tiny, cfg, sim0, cost_xu, _zero_final, jnp.float32)
+    rollout0, derivs, backward, linesearch, iteration, _ = pieces
+    x0 = flatten_state(sim0, reduced=True)
+    us = jnp.full((4, tiny.nu), 0.3, dtype=jnp.float32)
+    xs, cost = rollout0(x0, us)
+
+    # pretend the incumbent cost is unbeatable -> every candidate fails
+    # -> lam enters at its floor, then multiplies
+    _, _, _, lam1 = iteration(x0, xs, us, jnp.float32(-1e9), 0.0)
+    assert np.isclose(float(lam1), 1e-3)
+    _, _, _, lam2 = iteration(x0, xs, us, jnp.float32(-1e9), lam1)
+    assert np.isclose(float(lam2), 32e-3, rtol=1e-5)
+    # an easily-beatable incumbent -> accept -> decay
+    _, _, _, lam3 = iteration(x0, xs, us, jnp.float32(1e9), lam2)
+    assert np.isclose(float(lam3), float(lam2) * 0.25, rtol=1e-5)
+
+    # larger lam => smaller gains (gradient-leaning), same API
+    d = derivs(xs, us)
+    ks0, Ks0 = backward(*d, jnp.float32(0.0))
+    ks1, Ks1 = backward(*d, jnp.float32(10.0))
+    assert float(jnp.linalg.norm(ks1)) < float(jnp.linalg.norm(ks0))
+
+
 def test_compiled_piece_caches_are_pinned_and_bounded():
     """The convenience caches key on id(model)/id(cost_fn); ids are
     reusable after GC, so each entry PINS its objects with a strong

@@ -69,7 +69,8 @@ def main():
     xs, cost = rollout0(x0, us)
     np.asarray(xs)
     d = derivs(xs, us)
-    ks, Ks = backward(*d)
+    lam0 = np.float32(0.0)
+    ks, Ks = backward(*d, lam0)
     np.asarray(ks)
 
     def slope(chain, reps=2):
@@ -99,7 +100,7 @@ def main():
         out = None
         dd = list(dd)
         for i in range(k):
-            out = backward(*dd)
+            out = backward(*dd, lam0)
             dd[1] = dd[1] + out[0][0, 0] * np.float32(1e-9)
         return out[0]
 
@@ -121,8 +122,9 @@ def main():
 
     def chain_iter(k, seed):
         xs_in, us_in, c = xs + np.float32(1e-6 * seed), us, cost
+        lam = np.float32(0.0)
         for i in range(k):
-            xs_in, us_in, c = iteration(x0, xs_in, us_in, c)
+            xs_in, us_in, c, lam = iteration(x0, xs_in, us_in, c, lam)
         return us_in
 
     def chain_solve(k, seed):
