@@ -174,7 +174,10 @@ def _sweep_kernel(
 ):
     chol_solve = _CHOL_IMPLS[impl]
     eye_u = jnp.eye(m, dtype=jnp.float32) * reg
-    lam_extra = lam_ref[0:1, 0:1]  # (1,1) adaptive Levenberg multiplier
+    # rank-0 scalar from SMEM: keeping lam in a scalar register matters —
+    # as a (1,1) VMEM tile it infects every lam-use with vector-lane ops
+    # and cost the sweep +35% (1.16 -> 1.57 ms/sweep measured)
+    lam_extra = lam_ref[0]
 
     def body(i, carry):
         Vx, Vxx = carry  # (n, 1), (n, n)
@@ -264,15 +267,16 @@ def riccati_sweep_pallas(
     m = B.shape[2]
     if lam_extra is None:
         lam_extra = 0.0
-    lam_arr = jnp.asarray(lam_extra, A.dtype).reshape(1, 1)
+    lam_arr = jnp.asarray(lam_extra, A.dtype).reshape(1)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         partial(_sweep_kernel, H, n, m, float(reg), impl),
         out_shape=(
             jax.ShapeDtypeStruct((H, m), A.dtype),
             jax.ShapeDtypeStruct((H, m, n), A.dtype),
         ),
-        in_specs=[vmem] * 10,
+        in_specs=[vmem] * 9 + [smem],
         out_specs=(vmem, vmem),
         interpret=interpret,
     )(A, B, cx, cu, cxx, cuu, cux, Vx_T.reshape(n, 1), Vxx_T, lam_arr)

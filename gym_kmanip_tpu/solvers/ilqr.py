@@ -76,6 +76,13 @@ class ILQRConfig(NamedTuple):
     # explodes compile times when scanned); turned off automatically when
     # fd_linearize is off.
     fused_solve: bool = True
+    # Forward passes (nominal rollout + line search) through the
+    # whole-horizon feedback megakernel (ops/pallas_substep.rollout_feedback)
+    # instead of the scanned per-step kernel. None = auto: on for small
+    # robots (nq <= 12, where per-step launch overhead dominates), off for
+    # the torso (in-kernel row compute dominates and the scan path measured
+    # ~10% faster there). Requires reduced_state + f32 + TPU either way.
+    fb_kernel: Optional[bool] = None
     # Drop the cube's 13 dims from the solver state: x = [qpos, qvel]
     # (n = 2*nq instead of 2*nq + 13). Only meaningful with contact=False,
     # where the cube is PHYSICALLY decoupled from the robot (no tip-cube
@@ -178,8 +185,10 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
     # the scanned per-substep kernel is launch/scan-bound (~7-10 us/step
     # of overhead), ~1.5 ms per iteration at torso H=100. Reduced layout
     # only (the kernel pins the cube), f32, TPU.
+    fb_wanted = cfg.fb_kernel if cfg.fb_kernel is not None else model.nq <= 12
     use_fb_kernel = (
-        cfg.fast_rollouts
+        fb_wanted
+        and cfg.fast_rollouts
         and cfg.reduced_state
         and str(dtype) == "float32"
         and jax.default_backend() == "tpu"
