@@ -25,7 +25,6 @@ import hashlib
 import os
 import subprocess
 import threading
-from functools import partial
 from typing import Optional, Tuple
 
 import numpy as np
@@ -121,7 +120,7 @@ def _c64(a: np.ndarray):
     return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
-def _c32i(a) -> Tuple[np.ndarray, "ctypes.POINTER"]:
+def _c32i(a):
     a = np.ascontiguousarray(a, dtype=np.int32)
     return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
 
