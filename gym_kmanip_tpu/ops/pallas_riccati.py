@@ -32,14 +32,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _mm(a, b):
-    """Rank-2 matmul on the MXU in full f32.
+import os
 
-    Precision.HIGHEST matters: the MXU's native path truncates f32 inputs
-    to bf16, and the Riccati recursion amplifies that per-step truncation
-    into divergence (NaN after ~20 steps measured at torso sizes); HIGHEST
-    selects the multi-pass f32 algorithm.
-    """
+# MXU precision for every in-kernel matmul. The MXU's native path
+# truncates f32 inputs to bf16, and the Riccati recursion amplifies that
+# per-step truncation into divergence (NaN after ~20 steps measured at
+# torso sizes with DEFAULT). HIGHEST (6-pass f32 emulation) is safe;
+# HIGH (3-pass bf16x3, ~2^-21 relative) measured equally stable on the
+# recursion (gain parity tests + fused-solve traces) at roughly half the
+# per-GEMM latency, so it is the default; override with
+# KMANIP_RICCATI_PRECISION=highest|high.
+_PREC_MODE = os.environ.get("KMANIP_RICCATI_PRECISION", "high").lower()
+
+
+def _dot3(a, b, dims):
+    """bf16x3 matmul: Mosaic rejects Precision.HIGH, so emulate it —
+    split each f32 operand into hi+lo bf16 halves and take the three
+    dominant cross products in three NATIVE MXU passes (vs HIGHEST's six).
+    Error ~2^-21 relative, ~30x below bf16, ~8x above true f32."""
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    a_hi = a.astype(bf16)
+    b_hi = b.astype(bf16)
+    a_lo = (a - a_hi.astype(f32)).astype(bf16)
+    b_lo = (b - b_hi.astype(f32)).astype(bf16)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, (dims, ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+
+
+def _mm(a, b):
+    """Rank-2 matmul on the MXU (bf16x3 by default; see _PREC_MODE)."""
+    if _PREC_MODE == "high":
+        return _dot3(a, b, ((1,), (0,)))
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -164,7 +193,341 @@ def _chol_solve_rows(Quu, RHS, m: int, lam=0.0):
     return jnp.concatenate([z[i] * dscale[i] for i in range(m)], axis=0)
 
 
-_CHOL_IMPLS = {"cols": _chol_solve_cols, "rows": _chol_solve_rows}
+def _chol_solve_blocked(Quu, RHS, m: int, lam=0.0, b: int = 5):
+    """Blocked right-looking variant of _chol_solve_cols (identical math,
+    equilibration and pivot-drop semantics): the factorization runs in
+    m/b block-columns — within a block, each column is ONE (m,1) vector op
+    chain (<=b-1 rank-1-within-block corrections), and the cross-block
+    Schur complement is ONE MXU GEMM per block instead of m full-tile
+    rank-1 updates. The substitutions are likewise blocked: scalar-row
+    solves inside the b x b diagonal block, one GEMM panel update per
+    block. Shortens the sequential op chain ~5x vs the row version's ~800
+    (1,1)-scalar ops at m=20 while paying only 3(m/b) tile-wide GEMMs —
+    the balance the rows-vs-cols A/B showed each pure formulation misses
+    (tools/exp_riccati_kernel.py / exp_chol_blocked.py)."""
+    dt = Quu.dtype
+    eye = jnp.eye(m, dtype=dt)
+    diag = jnp.sum(Quu * eye, axis=1, keepdims=True) + lam  # (m, 1)
+    dscale = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+    S = dscale * Quu * dscale.T
+    S = S - S * eye + eye
+    floor = 1e-5
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    L = jnp.zeros((m, m), dt)
+    keepvec = jnp.zeros((m, 1), dt)
+    keeps = [None] * m
+    Ldiag = [None] * m  # (1,1) pivots, kept as python refs for the solves
+    for j0 in range(0, m, b):
+        jb = min(j0 + b, m)
+        cols = {}
+        for j in range(j0, jb):
+            # left-looking within the block; cross-block corrections are
+            # already in S via the previous blocks' Schur GEMMs
+            s_col = S[:, j : j + 1]  # (m, 1)
+            for t in range(j0, j):
+                s_col = s_col - cols[t] * cols[t][j : j + 1, :]
+            pivot = s_col[j : j + 1, :]  # (1, 1)
+            keep = pivot > floor
+            keeps[j] = jnp.where(keep, jnp.ones((1, 1), dt), 0.0)
+            d = jnp.sqrt(jnp.where(keep, pivot, 1.0))
+            Ldiag[j] = d
+            below = (row_idx >= j).astype(dt)
+            lcol = jnp.where(keep, (s_col * below) / d, 0.0)  # (m, 1)
+            cols[j] = lcol
+            ej = eye[:, j : j + 1]
+            L = L + jnp.where(keep, lcol, ej) * eye[j : j + 1, :]
+            keepvec = keepvec + jnp.where(keep, ej, 0.0)
+        if jb < m:
+            # ONE Schur GEMM for the whole trailing submatrix. Dropped
+            # columns are zero in cols[] already; rows above each column's
+            # diagonal are zero via the below-mask, so P P^T only touches
+            # the trailing block plus rows/cols already consumed (whose
+            # later reads are masked anyway).
+            P = L[:, j0:jb] * keepvec[j0:jb, :].T  # (m, b)
+            S = S - _mm(P, P.T)
+
+    # forward solve L Y = D RHS, blocked: (1,r) scalar-row chain inside
+    # the diagonal block, one GEMM panel update for all later rows per
+    # block; per-block results assembled into tiles by tiny (b,1)@(1,r)
+    # accumulations (Mosaic rejects concatenating offset-mismatched rows)
+    r = RHS.shape[1]
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    yrows = [None] * m
+    Ycur = RHS * dscale  # (m, r) running right-hand side
+    Yfull = jnp.zeros((m, r), dt)
+    for j0 in range(0, m, b):
+        jb = min(j0 + b, m)
+        eyeb = jnp.eye(jb - j0, dtype=dt)
+        for j in range(j0, jb):
+            s = Ycur[j : j + 1, :]
+            for t in range(j0, j):
+                s = s - L[j : j + 1, t : t + 1] * yrows[t]
+            yrows[j] = (s / Ldiag[j]) * keeps[j]  # (1, r)
+        Yblk = jnp.zeros((jb - j0, r), dt)
+        for j in range(j0, jb):
+            Yblk = Yblk + _mm(eyeb[:, j - j0 : j - j0 + 1], yrows[j])
+        Yfull = Yfull + _mm(eye[:, j0:jb], Yblk)
+        if jb < m:
+            panel = L[:, j0:jb] * (row_idx >= jb).astype(dt)  # rows > block
+            Ycur = Ycur - _mm(panel, Yblk)
+
+    # backward solve L^T z = y: same blocking from the bottom; the panel
+    # is L's block-row left of the diagonal, transposed
+    zrows = [None] * m
+    Zcur = Yfull
+    Zfull = jnp.zeros((m, r), dt)
+    for j0 in range(((m - 1) // b) * b, -1, -b):
+        jb = min(j0 + b, m)
+        eyeb = jnp.eye(jb - j0, dtype=dt)
+        for j in range(jb - 1, j0 - 1, -1):
+            s = Zcur[j : j + 1, :]
+            for t in range(j + 1, jb):
+                s = s - L[t : t + 1, j : j + 1] * zrows[t]
+            zrows[j] = (s / Ldiag[j]) * keeps[j]
+        Zblk = jnp.zeros((jb - j0, r), dt)
+        for j in range(j0, jb):
+            Zblk = Zblk + _mm(eyeb[:, j - j0 : j - j0 + 1], zrows[j])
+        Zfull = Zfull + _mm(eye[:, j0:jb], Zblk)
+        if j0 > 0:
+            panel = (L[j0:jb, :] * (col_idx < j0).astype(dt)).T  # (m, b)
+            Zcur = Zcur - _mm(panel, Zblk)
+
+    return dscale * (Zfull * keepvec)
+
+
+def _chol_solve_hybrid(Quu, RHS, m: int, lam=0.0, b: int = 5):
+    """Blocked factorization + row-style substitutions: the best measured
+    mix (tools/exp_chol_blocked.py). The factor phase is where the rows
+    impl burns ~m^3/6 sequential (1,1) ops — here it runs as m/b block
+    columns of (m,1) vector ops plus one MXU Schur GEMM per block; the
+    substitution phase (where rows' (1,r) ops are already cheap) stays
+    scalar-row, reading the factor back via (1,1)/(1,r) tile slices.
+    Identical math, equilibration, and pivot-drop semantics to
+    _chol_solve_rows/_cols."""
+    dt = Quu.dtype
+    eye = jnp.eye(m, dtype=dt)
+    diag = jnp.sum(Quu * eye, axis=1, keepdims=True) + lam  # (m, 1)
+    dscale = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+    S = dscale * Quu * dscale.T
+    S = S - S * eye + eye
+    floor = 1e-5
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    L = jnp.zeros((m, m), dt)
+    keepvec = jnp.zeros((m, 1), dt)
+    keeps = [None] * m
+    Ldiag = [None] * m
+    for j0 in range(0, m, b):
+        jb = min(j0 + b, m)
+        cols = {}
+        for j in range(j0, jb):
+            s_col = S[:, j : j + 1]  # (m, 1)
+            for t in range(j0, j):
+                s_col = s_col - cols[t] * cols[t][j : j + 1, :]
+            pivot = s_col[j : j + 1, :]  # (1, 1)
+            keep = pivot > floor
+            keeps[j] = jnp.where(keep, jnp.ones((1, 1), dt), 0.0)
+            d = jnp.sqrt(jnp.where(keep, pivot, 1.0))
+            Ldiag[j] = d
+            below = (row_idx >= j).astype(dt)
+            lcol = jnp.where(keep, (s_col * below) / d, 0.0)  # (m, 1)
+            cols[j] = lcol
+            ej = eye[:, j : j + 1]
+            L = L + jnp.where(keep, lcol, ej) * eye[j : j + 1, :]
+            keepvec = keepvec + jnp.where(keep, ej, 0.0)
+        if jb < m:
+            P = L[:, j0:jb] * keepvec[j0:jb, :].T  # (m, b)
+            S = S - _mm(P, P.T)
+
+    # row-style substitutions against the assembled L tile
+    y = [None] * m
+    for i in range(m):
+        s = RHS[i : i + 1, :] * dscale[i : i + 1, :]
+        for t in range(i):
+            s = s - L[i : i + 1, t : t + 1] * y[t]
+        y[i] = (s / Ldiag[i]) * keeps[i]
+    z = [None] * m
+    for i in range(m - 1, -1, -1):
+        s = y[i]
+        for t in range(i + 1, m):
+            s = s - L[t : t + 1, i : i + 1] * z[t]
+        z[i] = (s / Ldiag[i]) * keeps[i]
+    return jnp.concatenate(
+        [z[i] * dscale[i : i + 1, :] for i in range(m)], axis=0
+    )
+
+
+_CHOL_IMPLS = {
+    "cols": _chol_solve_cols,
+    "rows": _chol_solve_rows,
+    "blocked": _chol_solve_blocked,
+    "hybrid": _chol_solve_hybrid,
+}
+
+
+def _sweep_kernel_gemm5(
+    H: int, n: int, m: int, reg: float, impl: str,
+    AB_ref, cx_ref, cu_ref, cxx_ref, cuu_ref, cux_ref,
+    WT_ref, lam_ref, ks_ref, Ks_ref,
+):
+    """Riccati step restructured to FIVE MXU GEMMs (from ~13).
+
+    Carries the value state jointly as W = [Vx | Vxx] (n, 1+n) and takes
+    the dynamics as AB = [A B] (n, n+m), so one GEMM pair produces every
+    Q-quantity:
+
+        GW  = AB' W            -> [A'Vx A'Vxx; B'Vx B'Vxx]
+        GWG = GW[:,1:] AB      -> [A'VxxA A'VxxB; B'VxxA B'VxxB]
+
+    and the variational value update likewise collapses: with the
+    augmented gain Kk = -Quu_eff^{-1} [Qu Qux] (exactly what the solve
+    returns) and C = [Qu Qux],
+
+        M = Kk'(Quu_eff Kk + C) + C'Kk
+        [Vx_n | Vxx_n] = [Qx | Qxx] + M[1:, :]
+
+    (three GEMMs; block algebra in the module docstring of the legacy
+    kernel — identical math, different association order in f32). The
+    remaining per-step serial cost is the Quu solve, handled by `impl`.
+    """
+    chol_solve = _CHOL_IMPLS[impl]
+    lam_extra = lam_ref[0]
+
+    def body(i, W):
+        t = H - 1 - i
+        AB = AB_ref[pl.ds(t, 1)].reshape(n, n + m)
+        cx = cx_ref[pl.ds(t, 1)].reshape(1, n)
+        cu = cu_ref[pl.ds(t, 1)].reshape(1, m)
+        cxx = cxx_ref[pl.ds(t, 1)].reshape(n, n)
+        cuu = cuu_ref[pl.ds(t, 1)].reshape(m, m)
+        cux = cux_ref[pl.ds(t, 1)].reshape(m, n)
+
+        GW = _mm(AB.T, W)  # (n+m, 1+n)
+        GWG = _mm(GW[:, 1:], AB)  # (n+m, n+m)
+        Qx = cx.T + GW[:n, 0:1]  # (n, 1)
+        Qu = cu.T + GW[n:, 0:1]  # (m, 1)
+        Qxx = cxx + GWG[:n, :n]
+        Quu = cuu + GWG[n:, n:] + jnp.eye(m, dtype=jnp.float32) * reg
+        Qux = cux + GWG[n:, :n]
+        Quu = 0.5 * (Quu + Quu.T)
+        # Gershgorin-adaptive Levenberg lift (see legacy kernel)
+        amax = jnp.max(jnp.abs(Quu))
+        eye_m = jnp.eye(m, dtype=jnp.float32)
+        diag_col = jnp.sum(Quu * eye_m, axis=1, keepdims=True)
+        off_col = jnp.sum(jnp.abs(Quu), axis=1, keepdims=True) - jnp.abs(diag_col)
+        gersh_min = jnp.min(diag_col - off_col)
+        lam = (
+            1e-5 * amax
+            + jnp.maximum(0.0, 1e-4 * amax - gersh_min)
+            + lam_extra * amax
+        )
+
+        C = jnp.concatenate([Qu, Qux], axis=1)  # (m, 1+n)
+        Kk = -chol_solve(Quu, C, m, lam)
+        U1 = _mm(Quu, Kk) + lam * Kk  # Quu_eff @ Kk
+        M = _mm(Kk.T, U1 + C) + _mm(C.T, Kk)  # (1+n, 1+n)
+        Wn = jnp.concatenate([Qx, Qxx], axis=1) + M[1:, :]  # (n, 1+n)
+        Vxx_n = 0.5 * (Wn[:, 1:] + Wn[:, 1:].T)
+        Wn = jnp.concatenate([Wn[:, 0:1], Vxx_n], axis=1)
+
+        ks_ref[pl.ds(t, 1)] = Kk[:, 0:1].T  # (1, m)
+        Ks_ref[pl.ds(t, 1)] = Kk[:, 1:].reshape(1, m, n)
+        return Wn
+
+    jax.lax.fori_loop(0, H, body, WT_ref[:, :], unroll=False)
+
+
+def _mm_nt(a, b):
+    """a @ b.T on the MXU without materializing the transpose."""
+    if _PREC_MODE == "high":
+        return _dot3(a, b, ((1,), (1,)))
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _mm_tn(a, b):
+    """a.T @ b on the MXU without materializing the transpose."""
+    if _PREC_MODE == "high":
+        return _dot3(a, b, ((0,), (0,)))
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _sweep_kernel_packed(
+    H: int, n: int, m: int, reg: float, impl: str, rows: int, sr: int,
+    blk_ref, WT_ref, lam_ref, out_ref,
+):
+    """Riccati sweep with ONE full-tile load and ONE full-tile store per
+    step. The gemm5 restructure alone moved nothing (tools/
+    exp_chol_blocked.py): the per-step floor is dominated by the 7 partial
+    -tile VMEM loads + 2 single-sublane read-modify-write stores, not by
+    MXU count. Here the caller packs each timestep into one (rows, 128)
+    tile —
+
+        blk[:n+m, :n+m] = [[cxx, cux'], [cux, cuu]]   (cost Hessian, z=[x;u])
+        blk[:n+m, z1]   = [cx; cu]     (z1 = n+m lanes... column n+m? see wrapper)
+        blk[pad:, :n]   = [A B]'       (ABt, at the first 8-aligned row
+                                        past the cost block)
+
+    — and the gains come back as one zero-padded (sr, 128) tile per step
+    (Kk = -Quu_eff^{-1} [Qux | Quu | Qu]: K in cols :n, kff in col n+m;
+    the -Quu^{-1}Quu middle block is free junk that keeps every slice
+    8-lane-aligned and the store full-tile). Value state is carried as
+    W = [Vx | Vxx] (n, 1+n); math identical to the legacy kernel."""
+    chol_solve = _CHOL_IMPLS[impl]
+    lam_extra = lam_ref[0]
+    z = n + m
+    abt0 = ((z + 7) // 8) * 8  # ABt block start: 8-aligned past cost block
+
+    def body(i, W):
+        t = H - 1 - i
+        blk = blk_ref[pl.ds(t, 1)].reshape(rows, 128)
+        ABt = blk[abt0 : abt0 + z, :n]  # (z, n) = [A B]'
+        # GW = [A'Vx A'Vxx; B'Vx B'Vxx]  (z, 1+n)
+        GW = _mm(ABt, W)
+        # GWG = [A'VxxA A'VxxB; B'VxxA B'VxxB]  (z, z)
+        GWG = _mm_nt(GW[:, 1:], ABt)
+        # Qfull = [Qzz | qz] + [GWG | GW_vx]  (z, z+1), all in one add
+        addend = jnp.concatenate(
+            [GWG, GW[:, 0:1], jnp.zeros((z, 128 - z - 1), jnp.float32)],
+            axis=1,
+        )
+        Qfull = blk[:z, :] + addend  # cols z+1.. are junk zeros + zeros
+        Quu = Qfull[n:z, n:z] + jnp.eye(m, dtype=jnp.float32) * reg
+        Quu = 0.5 * (Quu + Quu.T)
+        amax = jnp.max(jnp.abs(Quu))
+        eye_m = jnp.eye(m, dtype=jnp.float32)
+        diag_col = jnp.sum(Quu * eye_m, axis=1, keepdims=True)
+        off_col = jnp.sum(jnp.abs(Quu), axis=1, keepdims=True) - jnp.abs(diag_col)
+        gersh_min = jnp.min(diag_col - off_col)
+        lam = (
+            1e-5 * amax
+            + jnp.maximum(0.0, 1e-4 * amax - gersh_min)
+            + lam_extra * amax
+        )
+        # RHS = the whole u-row block [Qux | Quu+.. | Qu | 0pad] (m, 128):
+        # solving against all 128 lanes costs the same one-tile row ops,
+        # keeps kff/K extraction aligned, and the store full-tile. The
+        # middle Quu-lanes of the result are junk (-I-ish), never read.
+        RHS = Qfull[n:z, :]
+        Kk = -chol_solve(Quu, RHS, m, lam)
+        U1 = _mm(Quu, Kk) + lam * Kk  # (m, 128)
+        M = _mm_tn(Kk, U1 + RHS) + _mm_tn(RHS, Kk)  # (128, 128)
+        Vx_n = Qfull[:n, z : z + 1] + M[:n, z : z + 1]
+        Vxx_n = Qfull[:n, :n] + M[:n, :n]
+        Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
+        Wn = jnp.concatenate([Vx_n, Vxx_n], axis=1)
+        out_ref[pl.ds(t, 1)] = jnp.concatenate(
+            [Kk, jnp.zeros((sr - m, 128), jnp.float32)], axis=0
+        ).reshape(1, sr, 128)
+        return Wn
+
+    jax.lax.fori_loop(0, H, body, WT_ref[:, :], unroll=False)
 
 
 def _sweep_kernel(
@@ -249,7 +612,8 @@ def _sweep_kernel(
 
 def riccati_sweep_pallas(
     A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, reg: float,
-    interpret: bool = False, impl: str = "rows", lam_extra=None,
+    interpret: bool = False, impl: str = "hybrid", lam_extra=None,
+    step_impl: str = "gemm5",
 ):
     """Full regularized LQR backward sweep. A: (H,n,n), B: (H,n,m), cost
     derivatives per step, terminal (Vx_T (n,), Vxx_T (n,n)). Returns
@@ -270,6 +634,48 @@ def riccati_sweep_pallas(
     lam_arr = jnp.asarray(lam_extra, A.dtype).reshape(1)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if step_impl == "packed":
+        z = n + m
+        abt0 = ((z + 7) // 8) * 8
+        rows = abt0 + abt0  # cost block rows + ABt rows, both 8-aligned
+        sr = ((m + 7) // 8) * 8
+        dt = A.dtype
+        # one (rows, 128) tile per step; XLA fuses this packing into the
+        # operands' producers, and total HBM traffic is within ~1.4x of
+        # the separate-tensor layout
+        blk = jnp.zeros((H, rows, 128), dt)
+        blk = blk.at[:, :n, :n].set(cxx)
+        blk = blk.at[:, :n, n:z].set(jnp.swapaxes(cux, 1, 2))
+        blk = blk.at[:, n:z, :n].set(cux)
+        blk = blk.at[:, n:z, n:z].set(cuu)
+        blk = blk.at[:, :n, z].set(cx)
+        blk = blk.at[:, n:z, z].set(cu)
+        blk = blk.at[:, abt0 : abt0 + n, :n].set(jnp.swapaxes(A, 1, 2))
+        blk = blk.at[:, abt0 + n : abt0 + z, :n].set(jnp.swapaxes(B, 1, 2))
+        WT = jnp.concatenate([Vx_T.reshape(n, 1), Vxx_T], axis=1)
+        out = pl.pallas_call(
+            partial(
+                _sweep_kernel_packed, H, n, m, float(reg), impl, rows, sr
+            ),
+            out_shape=jax.ShapeDtypeStruct((H, sr, 128), dt),
+            in_specs=[vmem, vmem, smem],
+            out_specs=vmem,
+            interpret=interpret,
+        )(blk, WT, lam_arr)
+        return out[:, :m, z], out[:, :m, :n]
+    if step_impl == "gemm5":
+        AB = jnp.concatenate([A, B], axis=2)  # (H, n, n+m) — fused by XLA
+        WT = jnp.concatenate([Vx_T.reshape(n, 1), Vxx_T], axis=1)
+        return pl.pallas_call(
+            partial(_sweep_kernel_gemm5, H, n, m, float(reg), impl),
+            out_shape=(
+                jax.ShapeDtypeStruct((H, m), A.dtype),
+                jax.ShapeDtypeStruct((H, m, n), A.dtype),
+            ),
+            in_specs=[vmem] * 7 + [smem],
+            out_specs=(vmem, vmem),
+            interpret=interpret,
+        )(AB, cx, cu, cxx, cuu, cux, WT, lam_arr)
     return pl.pallas_call(
         partial(_sweep_kernel, H, n, m, float(reg), impl),
         out_shape=(

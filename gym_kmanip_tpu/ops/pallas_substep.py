@@ -40,43 +40,76 @@ _CUBE_INV_MASS = 1.0 / k.CUBE_MASS
 _CUBE_INV_INERTIA = 1.0 / k.CUBE_DIAG_INERTIA
 
 
-def _chol_factor_rows(n, M):
+def _chol_pattern(n, nz):
+    """Symbolic Cholesky: nz[i][j] (i >= j) = structural nonzeros of M;
+    returns the factor pattern with fill-in (single left-to-right pass is
+    exact: column kk's pattern is final before column j > kk uses it)."""
+    pat = [[bool(nz[i][j]) for j in range(n)] for i in range(n)]
+    for j in range(n):
+        for i in range(j + 1, n):
+            if pat[i][j]:
+                continue
+            for kk in range(j):
+                if pat[i][kk] and pat[j][kk]:
+                    pat[i][j] = True
+                    break
+    return pat
+
+
+def _chol_factor_rows(n, M, pat=None):
     """Unrolled Cholesky factor on row-matrices: M list-of-lists (lower
-    half used). Returns L rows, reusable for several substitutions."""
+    half used). Returns L rows, reusable for several substitutions.
+
+    `pat` (from _chol_pattern) skips structurally-zero entries: for the
+    tree-structured mass matrix the dof couple only within root-connected
+    subtrees (torso: 2+9+9 block-diagonal), so the dense n^3/6 op chain
+    shrinks ~5x AND the independent blocks factor in instruction-level
+    parallel. BIT-EXACT vs the dense factor — every skipped term is an
+    exact 0*x against an exact-zero M entry."""
     L = [[None] * n for _ in range(n)]
     for j in range(n):
         s = M[j][j]
         for kk in range(j):
+            if pat is not None and not pat[j][kk]:
+                continue
             s = s - L[j][kk] * L[j][kk]
         L[j][j] = jnp.sqrt(s)
         inv_d = 1.0 / L[j][j]
         for i in range(j + 1, n):
+            if pat is not None and not pat[i][j]:
+                continue
             s = M[i][j] if i >= j else M[j][i]
             for kk in range(j):
+                if pat is not None and not (pat[i][kk] and pat[j][kk]):
+                    continue
                 s = s - L[i][kk] * L[j][kk]
             L[i][j] = s * inv_d
     return L
 
 
-def _chol_substitute_rows(n, L, b):
+def _chol_substitute_rows(n, L, b, pat=None):
     """Solve L L^T x = b (rows) given a factor from _chol_factor_rows."""
     y = [None] * n
     for i in range(n):
         s = b[i]
         for kk in range(i):
+            if pat is not None and not pat[i][kk]:
+                continue
             s = s - L[i][kk] * y[kk]
         y[i] = s / L[i][i]
     for i in range(n - 1, -1, -1):
         s = y[i]
         for kk in range(i + 1, n):
+            if pat is not None and not pat[kk][i]:
+                continue
             s = s - L[kk][i] * y[kk]
         y[i] = s / L[i][i]
     return y
 
 
-def _chol_rows(n, M, b):
+def _chol_rows(n, M, b, pat=None):
     """Unrolled Cholesky solve on row-matrices (factor + substitute)."""
-    return _chol_substitute_rows(n, _chol_factor_rows(n, M), b)
+    return _chol_substitute_rows(n, _chol_factor_rows(n, M, pat), b, pat)
 
 
 def _substep_core(
@@ -215,9 +248,14 @@ def _substep_core(
         M[i][i] = M[i][i] + extra
 
     # ---- solve + integrate robot ----
+    # dof i,j couple in M only when they share a descendant body (the
+    # M[j][kk] assembly above produces exact zeros elsewhere); the
+    # symbolic pattern lets the Cholesky skip those ops bit-exactly
+    coupled = (anc.astype(np.int32).T @ anc.astype(np.int32)) > 0
+    pat = _chol_pattern(nq, coupled)
     Mdiag = [M[i][i] for i in range(nq)]
-    Lrows = _chol_factor_rows(nq, M)
-    qacc0 = _chol_substitute_rows(nq, Lrows, tau)
+    Lrows = _chol_factor_rows(nq, M, pat)
+    qacc0 = _chol_substitute_rows(nq, Lrows, tau, pat)
     # limits + frictionloss as force-space dual Jacobi sweeps (mirrors
     # engine.constraint_qacc: the forces propagate through the full M^-1,
     # factorization reused per sweep)
@@ -256,7 +294,7 @@ def _substep_core(
                 0.0,
             )
             f_tot.append(f_fric[i] + f_lo[i] + f_hi[i])
-        dq_acc = _chol_substitute_rows(nq, Lrows, f_tot)
+        dq_acc = _chol_substitute_rows(nq, Lrows, f_tot, pat)
         qacc = [qacc0[i] + dq_acc[i] for i in range(nq)]
     q_out, v_out = [], []
     for i in range(nq):
