@@ -279,21 +279,28 @@ def substep_cost(model):
     return float(an.get("flops", 0.0)), float(2 * state_bytes)
 
 
-def ilqr_rate(model_name="torso", horizon=100):
+def ilqr_rate(model_name="torso", horizon=100, production=True):
     """Fused single-dispatch iLQR (n_iters=10): solves/s vs the 50 Hz
     real-time bar. Two rows: the torso H=100 STRESS config (22 dof,
     longest horizon; r1 measured 0.33 s/solve = 3 Hz there) and the
     solo-arm H=50 config matching BASELINE.md's '>50 Hz SoloArm MPC @
-    H=50' row — the flagship deployment shape."""
+    H=50' row — the flagship deployment shape.
+
+    production=True is the deployment configuration (tagged in the
+    emitted row): reduced_state (contact=False decouples the cube, so
+    the solver state is [qpos, qvel] — exact for this cube-free cost)
+    with the Gauss-Newton cost quadratization
+    (mpc.cost.make_ee_tracking_cost_ilqr) and one-sided FD probes.
+    production=False is the r1-continuity config: full 2nq+13 state,
+    exact autodiff-Hessian quadratization, centered differences."""
     import jax
     import jax.numpy as jnp
 
     from gym_kmanip_tpu.dynamics import init_state
     from gym_kmanip_tpu.models import get_model
+    from gym_kmanip_tpu.mpc.cost import make_ee_tracking_cost_ilqr
     from gym_kmanip_tpu.ops import kinematics as kin
-    from gym_kmanip_tpu.solvers.ilqr import (
-        ILQRConfig, ilqr_solve, unflatten_state,
-    )
+    from gym_kmanip_tpu.solvers.ilqr import ILQRConfig, make_ilqr_solver
 
     model = get_model(model_name)
     state0 = init_state(model)
@@ -301,27 +308,24 @@ def ilqr_rate(model_name="torso", horizon=100):
     p, _ = kin.site_pose(model, xp, xq, "eer_site")
     goal = p + jnp.asarray([0.0, 0.05, -0.05])
 
-    def cost_xu(x, u):
-        s = unflatten_state(model, x, state0)
-        xp2, xq2, _ = kin.fk(model, s.qpos)
-        pp, _ = kin.site_pose(model, xp2, xq2, "eer_site")
-        return (
-            50.0 * jnp.sum((pp - goal) ** 2)
-            + 0.01 * jnp.sum(s.qvel**2)
-            + 0.001 * jnp.sum(u**2)
-        )
+    cost_xu, quad_xu = make_ee_tracking_cost_ilqr(
+        model, goal, w_pos=50.0, w_vel=0.01, w_ctrl=0.001
+    )
 
     H = horizon
-    # reduced_state: contact=False decouples the cube, so the solver state
-    # is [qpos, qvel] (torso n=40, not 53) — exact for this cube-free cost,
-    # and 2.3x smaller Riccati matmuls (solvers/ilqr.ILQRConfig.reduced_state)
-    cfg = ILQRConfig(horizon=H, n_iters=10, contact=False, reduced_state=True)
+    if production:
+        cfg = ILQRConfig(horizon=H, n_iters=10, contact=False,
+                         reduced_state=True)
+        solve = make_ilqr_solver(model, cfg, cost_xu, quad_xu=quad_xu)
+    else:
+        cfg = ILQRConfig(horizon=H, n_iters=10, contact=False, fd_order=2)
+        solve = make_ilqr_solver(model, cfg, cost_xu)
     us = jnp.tile(
         jnp.asarray(model.home_qpos[: model.nu], dtype=jnp.float32), (H, 1)
     )
     import numpy as np
 
-    r = ilqr_solve(model, cfg, state0, us, cost_xu)  # compile (cold ~90 s;
+    r = solve(state0, us)  # compile (cold ~90 s;
     # warm via the persistent compilation cache set up in main())
     np.asarray(r.us)  # axon block_until_ready doesn't block
 
@@ -334,14 +338,15 @@ def ilqr_rate(model_name="torso", horizon=100):
         t0 = time.time()
         r = None
         for _ in range(n_calls):
-            r = ilqr_solve(model, cfg, state0, us_in, cost_xu)
+            r = solve(state0, us_in)
             us_in = r.us
         np.asarray(r.us)
         return time.time() - t0
 
     t1 = min(timed(1, s) for s in (1, 2))
     t5 = min(timed(5, s) for s in (3, 4))
-    return 4 / max(t5 - t1, 1e-9)
+    trace = np.asarray(solve(state0, us).cost_trace)
+    return 4 / max(t5 - t1, 1e-9), trace
 
 
 def gym_env_rate():
@@ -434,17 +439,31 @@ def main():
 
     if os.environ.get("BENCH_ILQR", "1") != "0":
         try:
-            rate = ilqr_rate("torso", 100)
+            rate, trace = ilqr_rate("torso", 100)
             _emit("ilqr_solves_per_sec_torso_H100_10iter", rate, "solves/s",
-                  rate / 50.0)
+                  rate / 50.0, config="reduced_state+gn_quad+fd1",
+                  trace_first=round(float(trace[0]), 2),
+                  trace_last=round(float(trace[-1]), 2))
         except Exception as e:  # noqa: BLE001
             _emit_error("ilqr_torso", e)
         try:
-            rate = ilqr_rate("solo_arm", 50)
+            rate, trace = ilqr_rate("solo_arm", 50)
             _emit("ilqr_solves_per_sec_solo_H50_10iter", rate, "solves/s",
-                  rate / 50.0)
+                  rate / 50.0, config="reduced_state+gn_quad+fd1",
+                  trace_first=round(float(trace[0]), 2),
+                  trace_last=round(float(trace[-1]), 2))
         except Exception as e:  # noqa: BLE001
             _emit_error("ilqr_solo", e)
+        try:
+            # r1-continuity row: full 2nq+13 state, exact autodiff
+            # Hessians, centered FD — the config the 0.33 s/solve r1
+            # number was measured on (ADVICE r4: keep one full-state row
+            # so kernel speedups aren't conflated with config changes)
+            rate, _tr = ilqr_rate("torso", 100, production=False)
+            _emit("ilqr_solves_per_sec_torso_H100_10iter_fullstate", rate,
+                  "solves/s", rate / 50.0, config="fullstate+hessian+fd2")
+        except Exception as e:  # noqa: BLE001
+            _emit_error("ilqr_torso_fullstate", e)
 
     try:
         cl_hz = closed_loop(model)

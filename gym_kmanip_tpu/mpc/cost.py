@@ -78,6 +78,64 @@ def cube_pick_cost(
     return c
 
 
+def make_ee_tracking_cost_ilqr(
+    model: RobotModel,
+    goal_pos,
+    site: str = "eer_site",
+    w_pos: float = 50.0,
+    w_vel: float = 0.01,
+    w_ctrl: float = 1e-3,
+):
+    """(cost_xu, quad_xu) pair for iLQR EE tracking on the flat state
+    x = [qpos, qvel, (cube...)] (solvers/ilqr layout; cube dims, if
+    present, carry zero cost rows).
+
+    quad_xu is the GAUSS-NEWTON quadratization: cxx's FK block is
+    w·J'J from ONE reverse-mode Jacobian of the 3-vector site residual,
+    instead of jax.hessian differentiating the whole kinematic chain
+    twice per timestep — measured 20.4 -> 14.3 ms on the torso H=100
+    fused solve, with an equal-or-better convergence trace (GN is the
+    standard iLQR cost model; pass quad_xu=None to ilqr for the exact
+    autodiff Hessian)."""
+    from gym_kmanip_tpu.ops import kinematics as kin
+
+    nq, nu = model.nq, model.nu
+    goal = jnp.asarray(goal_pos)
+
+    def ee_of_q(q):
+        xp, xq, _ = kin.fk(model, q)
+        p, _ = kin.site_pose(model, xp, xq, site)
+        return p
+
+    def cost_xu(x, u):
+        q, v = x[:nq], x[nq : 2 * nq]
+        return (
+            w_pos * jnp.sum((ee_of_q(q) - goal) ** 2)
+            + w_vel * jnp.sum(v**2)
+            + w_ctrl * jnp.sum(u**2)
+        )
+
+    def quad_xu(x, u):
+        n = x.shape[-1]
+        q, v = x[:nq], x[nq : 2 * nq]
+        r = ee_of_q(q) - goal
+        J = jax.jacrev(ee_of_q)(q)  # (3, nq)
+        cx = jnp.zeros((n,), x.dtype)
+        cx = cx.at[:nq].set(2.0 * w_pos * (J.T @ r))
+        cx = cx.at[nq : 2 * nq].set(2.0 * w_vel * v)
+        cu = 2.0 * w_ctrl * u
+        cxx = jnp.zeros((n, n), x.dtype)
+        cxx = cxx.at[:nq, :nq].set(2.0 * w_pos * (J.T @ J))
+        cxx = cxx.at[nq : 2 * nq, nq : 2 * nq].set(
+            2.0 * w_vel * jnp.eye(nq, dtype=x.dtype)
+        )
+        cuu = 2.0 * w_ctrl * jnp.eye(nu, dtype=x.dtype)
+        cux = jnp.zeros((nu, n), x.dtype)
+        return cx, cu, cxx, cuu, cux
+
+    return cost_xu, quad_xu
+
+
 def ee_tracking_cost(
     model: RobotModel,
     state: SimState,

@@ -356,11 +356,70 @@ def _chol_solve_hybrid(Quu, RHS, m: int, lam=0.0, b: int = 5):
     )
 
 
+def _chol_solve_hybrid2(Quu, RHS, m: int, lam=0.0, b: int = 5):
+    """Blocked factorization + RANK-1 column substitutions: the winning
+    mix measured IN-SOLVE (the standalone kernel harness carries a fixed
+    ~0.5 ms/launch and cannot rank these). The factor runs as m/b block
+    columns (one (m,1) vector-op chain per column + one MXU Schur GEMM
+    per block); each substitution step is ONE rank-1 tile update that
+    retires a pivot and corrects every remaining row at once — critical
+    path ~2 ops per pivot versus the row version's ~m ops per row.
+    Identical math/equilibration/drop semantics to _chol_solve_rows."""
+    dt = Quu.dtype
+    eye = jnp.eye(m, dtype=dt)
+    diag = jnp.sum(Quu * eye, axis=1, keepdims=True) + lam  # (m, 1)
+    dscale = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+    S = dscale * Quu * dscale.T
+    S = S - S * eye + eye
+    floor = 1e-5
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    L = jnp.zeros((m, m), dt)
+    keepvec = jnp.zeros((m, 1), dt)
+    keeps = [None] * m
+    for j0 in range(0, m, b):
+        jb = min(j0 + b, m)
+        cols = {}
+        for j in range(j0, jb):
+            s_col = S[:, j : j + 1]  # (m, 1)
+            for t in range(j0, j):
+                s_col = s_col - cols[t] * cols[t][j : j + 1, :]
+            pivot = s_col[j : j + 1, :]  # (1, 1)
+            keep = pivot > floor
+            keeps[j] = jnp.where(keep, jnp.ones((1, 1), dt), 0.0)
+            d = jnp.sqrt(jnp.where(keep, pivot, 1.0))
+            below = (row_idx >= j).astype(dt)
+            lcol = jnp.where(keep, (s_col * below) / d, 0.0)  # (m, 1)
+            cols[j] = lcol
+            ej = eye[:, j : j + 1]
+            L = L + jnp.where(keep, lcol, ej) * eye[j : j + 1, :]
+            keepvec = keepvec + jnp.where(keep, ej, 0.0)
+        if jb < m:
+            P = L[:, j0:jb] * keepvec[j0:jb, :].T  # (m, b)
+            S = S - _mm(P, P.T)
+
+    # rank-1 substitutions (see _chol_solve_cols for the e_j trick: one
+    # update both eliminates below-diagonal entries and replaces row j
+    # with y_j itself)
+    Y = RHS * dscale
+    for j in range(m):
+        ej = eye[:, j : j + 1]
+        t = (Y[j : j + 1, :] / L[j : j + 1, j : j + 1]) * keeps[j]
+        Y = Y - _mm(L[:, j : j + 1] - ej, t)
+    LT = L.T
+    Z = Y
+    for j in range(m - 1, -1, -1):
+        ej = eye[:, j : j + 1]
+        t = (Z[j : j + 1, :] / LT[j : j + 1, j : j + 1]) * keeps[j]
+        Z = Z - _mm(LT[:, j : j + 1] - ej, t)
+    return dscale * (Z * keepvec)
+
+
 _CHOL_IMPLS = {
     "cols": _chol_solve_cols,
     "rows": _chol_solve_rows,
     "blocked": _chol_solve_blocked,
     "hybrid": _chol_solve_hybrid,
+    "hybrid2": _chol_solve_hybrid2,
 }
 
 
@@ -612,7 +671,7 @@ def _sweep_kernel(
 
 def riccati_sweep_pallas(
     A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, reg: float,
-    interpret: bool = False, impl: str = "hybrid", lam_extra=None,
+    interpret: bool = False, impl: str = None, lam_extra=None,
     step_impl: str = "gemm5",
 ):
     """Full regularized LQR backward sweep. A: (H,n,n), B: (H,n,m), cost
@@ -629,6 +688,8 @@ def riccati_sweep_pallas(
     the default."""
     H, n, _ = A.shape
     m = B.shape[2]
+    if impl is None:
+        impl = os.environ.get("KMANIP_RICCATI_IMPL", "hybrid")
     if lam_extra is None:
         lam_extra = 0.0
     lam_arr = jnp.asarray(lam_extra, A.dtype).reshape(1)

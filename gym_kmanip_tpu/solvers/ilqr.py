@@ -68,6 +68,14 @@ class ILQRConfig(NamedTuple):
     # (tests/test_mpc.py gradient-path parity).
     fd_linearize: bool = True
     fd_eps: float = 1e-3
+    # 1: one-sided differences (H x (n+m) probes — half the batch, error
+    # O(eps); probes step AWAY from the nearest joint/ctrl bound with the
+    # same branch-consistency rules as the centered scheme). 2: centered
+    # (H x 2(n+m) probes, error O(eps^2)). Convergence traces on the
+    # bench problems are indistinguishable (tests/test_mpc.py descent +
+    # trace-band assertions), so the cheaper scheme is the default; the
+    # jacfwd oracle path (fd_linearize=False) remains exact.
+    fd_order: int = 1
     # Forward passes (initial rollout + line search) through the fused
     # batched kernel as well
     fast_rollouts: bool = True
@@ -134,7 +142,8 @@ class ILQRResult(NamedTuple):
     cost_trace: jax.Array  # (n_iters,) cost after each iteration
 
 
-def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
+def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype,
+                  quad_xu=None, quad_final=None):
     """Separately-jitted iLQR building blocks.
 
     One fused jit of the whole solve (derivs + backward + line search,
@@ -267,46 +276,87 @@ def _build_pieces(model, cfg, state0, cost_xu, cost_final, dtype):
             sup, sum_ = steps(U, lo, hi)
             Ex = jnp.eye(n, dtype=dtype)
             Eu = jnp.eye(nu, dtype=dtype)
-            Xp = jnp.concatenate(
-                [
-                    X[:, None, :] + sxp[:, :, None] * Ex[None],
-                    X[:, None, :] - sxm[:, :, None] * Ex[None],
-                    jnp.broadcast_to(X[:, None, :], (Hh, 2 * nu, n)),
-                ],
-                axis=1,
-            )
-            Up = jnp.concatenate(
-                [
-                    jnp.broadcast_to(U[:, None, :], (Hh, 2 * n, nu)),
-                    U[:, None, :] + sup[:, :, None] * Eu[None],
-                    U[:, None, :] - sum_[:, :, None] * Eu[None],
-                ],
-                axis=1,
-            )
-            Y = jax.vmap(f_fast)(
-                Xp.reshape(-1, n), Up.reshape(-1, nu)
-            ).reshape(Hh, 2 * (n + nu), n)
-            A = jnp.swapaxes(
-                (Y[:, :n] - Y[:, n : 2 * n]) / (sxp + sxm)[:, :, None], 1, 2
-            )
-            B = jnp.swapaxes(
-                (Y[:, 2 * n : 2 * n + nu] - Y[:, 2 * n + nu :])
-                / (sup + sum_)[:, :, None],
-                1,
-                2,
-            )
+            if cfg.fd_order == 1:
+                # one-sided: a single probe per dim, stepping toward the
+                # roomier side (so the probe stays in the nominal branch);
+                # the nominal f(x, u) is xs[t+1] — already rolled out
+                sx = jnp.where(sxp >= sxm, sxp, -sxm)  # signed step (H, n)
+                su = jnp.where(sup >= sum_, sup, -sum_)
+                sx = jnp.where(jnp.abs(sx) < 1e-12, eps, sx)
+                su = jnp.where(jnp.abs(su) < 1e-12, eps, su)
+                Xp = jnp.concatenate(
+                    [
+                        X[:, None, :] + sx[:, :, None] * Ex[None],
+                        jnp.broadcast_to(X[:, None, :], (Hh, nu, n)),
+                    ],
+                    axis=1,
+                )
+                Up = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(U[:, None, :], (Hh, n, nu)),
+                        U[:, None, :] + su[:, :, None] * Eu[None],
+                    ],
+                    axis=1,
+                )
+                Y = jax.vmap(f_fast)(
+                    Xp.reshape(-1, n), Up.reshape(-1, nu)
+                ).reshape(Hh, n + nu, n)
+                Y0 = xs[1:][:, None, :]  # nominal next states
+                A = jnp.swapaxes((Y[:, :n] - Y0) / sx[:, :, None], 1, 2)
+                B = jnp.swapaxes((Y[:, n:] - Y0) / su[:, :, None], 1, 2)
+            else:
+                Xp = jnp.concatenate(
+                    [
+                        X[:, None, :] + sxp[:, :, None] * Ex[None],
+                        X[:, None, :] - sxm[:, :, None] * Ex[None],
+                        jnp.broadcast_to(X[:, None, :], (Hh, 2 * nu, n)),
+                    ],
+                    axis=1,
+                )
+                Up = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(U[:, None, :], (Hh, 2 * n, nu)),
+                        U[:, None, :] + sup[:, :, None] * Eu[None],
+                        U[:, None, :] - sum_[:, :, None] * Eu[None],
+                    ],
+                    axis=1,
+                )
+                Y = jax.vmap(f_fast)(
+                    Xp.reshape(-1, n), Up.reshape(-1, nu)
+                ).reshape(Hh, 2 * (n + nu), n)
+                A = jnp.swapaxes(
+                    (Y[:, :n] - Y[:, n : 2 * n]) / (sxp + sxm)[:, :, None],
+                    1, 2,
+                )
+                B = jnp.swapaxes(
+                    (Y[:, 2 * n : 2 * n + nu] - Y[:, 2 * n + nu :])
+                    / (sup + sum_)[:, :, None],
+                    1,
+                    2,
+                )
         else:
             A = jax.vmap(jax.jacfwd(f, argnums=0))(xs[:-1], us)
             B = jax.vmap(jax.jacfwd(f, argnums=1))(xs[:-1], us)
-        cx = jax.vmap(jax.grad(cost_xu, argnums=0))(xs[:-1], us)
-        cu = jax.vmap(jax.grad(cost_xu, argnums=1))(xs[:-1], us)
-        cxx = jax.vmap(jax.hessian(cost_xu, argnums=0))(xs[:-1], us)
-        cuu = jax.vmap(jax.hessian(cost_xu, argnums=1))(xs[:-1], us)
-        cux = jax.vmap(jax.jacfwd(jax.grad(cost_xu, argnums=1), argnums=0))(
-            xs[:-1], us
-        )
-        Vx_T = jax.grad(cost_final)(xs[-1])
-        Vxx_T = jax.hessian(cost_final)(xs[-1])
+        if quad_xu is not None:
+            # user-supplied quadratization (x, u) -> (cx, cu, cxx, cuu,
+            # cux): the standard iLQR cost interface for Gauss-Newton /
+            # analytic second-order models — the autodiff jax.hessian of
+            # an FK-bearing cost differentiates the whole kinematic chain
+            # twice per (t); a GN model needs only the residual Jacobian
+            cx, cu, cxx, cuu, cux = jax.vmap(quad_xu)(xs[:-1], us)
+        else:
+            cx = jax.vmap(jax.grad(cost_xu, argnums=0))(xs[:-1], us)
+            cu = jax.vmap(jax.grad(cost_xu, argnums=1))(xs[:-1], us)
+            cxx = jax.vmap(jax.hessian(cost_xu, argnums=0))(xs[:-1], us)
+            cuu = jax.vmap(jax.hessian(cost_xu, argnums=1))(xs[:-1], us)
+            cux = jax.vmap(
+                jax.jacfwd(jax.grad(cost_xu, argnums=1), argnums=0)
+            )(xs[:-1], us)
+        if quad_final is not None:
+            Vx_T, Vxx_T = quad_final(xs[-1])
+        else:
+            Vx_T = jax.grad(cost_final)(xs[-1])
+            Vxx_T = jax.hessian(cost_final)(xs[-1])
         return A, B, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T
 
     @jax.jit
@@ -525,13 +575,20 @@ def _zero_final(x):
     return jnp.asarray(0.0, dtype=x.dtype)
 
 
-def make_ilqr_solver(model: RobotModel, cfg: ILQRConfig, cost_xu, cost_final=None):
+def make_ilqr_solver(model: RobotModel, cfg: ILQRConfig, cost_xu,
+                     cost_final=None, quad_xu=None, quad_final=None):
     """Explicit solver handle: (state0, u_init) -> ILQRResult.
 
     The handle OWNS its compiled pieces (built lazily per dtype on first
     call) — no global registry, no id-keyed cache, nothing to alias or
     leak. Production loops should prefer this over the ilqr_solve
-    convenience wrapper."""
+    convenience wrapper.
+
+    `quad_xu(x, u) -> (cx, cu, cxx, cuu, cux)` / `quad_final(x) ->
+    (Vx, Vxx)` optionally replace the autodiff cost quadratization with
+    an analytic or Gauss-Newton model (the standard iLQR residual-cost
+    interface); cost_xu is still used for rollout cost evaluation and
+    line-search acceptance."""
     cost_final_fn = cost_final if cost_final is not None else _zero_final
     owned = {}
 
@@ -539,7 +596,8 @@ def make_ilqr_solver(model: RobotModel, cfg: ILQRConfig, cost_xu, cost_final=Non
         dt_key = str(u_init.dtype)
         if dt_key not in owned:
             owned[dt_key] = _build_pieces(
-                model, cfg, state0, cost_xu, cost_final_fn, u_init.dtype
+                model, cfg, state0, cost_xu, cost_final_fn, u_init.dtype,
+                quad_xu=quad_xu, quad_final=quad_final,
             )
         return _run_pieces(owned[dt_key], cfg, state0, u_init)
 

@@ -436,3 +436,32 @@ def test_compiled_piece_caches_are_pinned_and_bounded():
     keys_before = set(ilqr._PIECES_CACHE)
     run_one(use_handle=True)
     assert set(ilqr._PIECES_CACHE) == keys_before and len(ilqr._PIECES_CACHE) == n_before
+
+
+def test_ilqr_gn_quadratization_matches_hessian_path():
+    """make_ee_tracking_cost_ilqr's Gauss-Newton quadratization (the
+    production bench config) must descend monotonically and reach the
+    exact-Hessian path's cost (r5: the autodiff jax.hessian of the
+    FK-bearing cost was ~30% of the torso solve wall; GN replaces it
+    with one reverse-mode 3xnq Jacobian per step at equal-or-better
+    convergence — bench.py emits the on-chip traces per round)."""
+    from gym_kmanip_tpu.mpc.cost import make_ee_tracking_cost_ilqr
+    from gym_kmanip_tpu.solvers.ilqr import ILQRConfig, make_ilqr_solver
+
+    tiny = _tiny_model()
+    sim0 = init_state(tiny)
+    xpos, xquat, _ = kin.fk(tiny, sim0.qpos)
+    p, _ = kin.site_pose(tiny, xpos, xquat, "eer_site")
+    goal = p + jnp.asarray([0.05, 0.0, -0.05])
+    cost_xu, quad_xu = make_ee_tracking_cost_ilqr(tiny, goal)
+
+    cfg = ILQRConfig(horizon=8, n_iters=4, contact=False,
+                     reduced_state=True)
+    u_init = jnp.zeros((8, tiny.nu), dtype=jnp.float32)
+    r_gn = make_ilqr_solver(tiny, cfg, cost_xu, quad_xu=quad_xu)(sim0, u_init)
+    r_h = make_ilqr_solver(tiny, cfg, cost_xu)(sim0, u_init)
+
+    tr = np.asarray(r_gn.cost_trace)
+    assert np.all(np.diff(tr) <= 1e-5)  # monotone
+    assert not np.any(np.isnan(np.asarray(r_gn.us)))
+    assert float(r_gn.cost) <= 1.1 * float(r_h.cost) + 1e-3
