@@ -466,6 +466,35 @@ def main():
             _emit_error("ilqr_torso_fullstate", e)
 
     try:
+        # rollout-sharding efficiency on the 8-virtual-device CPU mesh
+        # (subprocess so the CPU pin cannot leak into this TPU process).
+        # PROXY ceiling = host core count, not ICI (tools/bench_scaling.py);
+        # the >=80% BASELINE bar belongs to real multi-chip hardware.
+        import subprocess
+        senv = dict(os.environ)
+        senv.pop("JAX_PLATFORM_NAME", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "tools", "bench_scaling.py")],
+            capture_output=True, text=True, timeout=900, env=senv,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        row = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.strip().startswith("{"):
+                row = json.loads(line)
+                break
+        if row is None:
+            raise RuntimeError(
+                f"no JSON rc={proc.returncode}: {proc.stderr[-300:]}")
+        _emit(f"rollout_sharding_efficiency_1_to_{row['n_dev']}dev",
+              row["efficiency"], "fraction", row["efficiency"] / 0.8,
+              mesh="virtual_cpu_8dev_proxy", t1_ms=row["t1_ms"],
+              tn_ms=row["tn_ms"])
+    except Exception as e:  # noqa: BLE001
+        _emit_error("scaling_efficiency", e)
+
+    try:
         cl_hz = closed_loop(model)
         _emit("closed_loop_mpc_hz_H20_K256_fullfidelity", cl_hz, "Hz",
               cl_hz / 50.0)

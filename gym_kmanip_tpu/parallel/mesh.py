@@ -70,6 +70,68 @@ def global_elite(costs: jax.Array, cand: jax.Array, local_k: int,
     return best_cand, gmin
 
 
+def make_sharded_ilqr_solver(
+    model: RobotModel,
+    cfg,
+    cost_xu: Callable,
+    mesh: Mesh,
+    state0_template: SimState,
+    batch: int,
+    cost_final: Optional[Callable] = None,
+    quad_xu: Optional[Callable] = None,
+    quad_final: Optional[Callable] = None,
+    dtype=jnp.float32,
+):
+    """Batched multi-problem iLQR sharded over the rollout axis (closes
+    SURVEY §2.4 row 1's "MPPI/iLQR rollouts sharded across chips": the
+    MPC-fleet shape — B independent problems, B/n_devices fused solves
+    per chip, zero cross-chip traffic during the solve).
+
+    Each problem gets its own flat initial state x0 and warm-start u_init;
+    the SimState template supplies the shared non-solver fields (ctrl
+    layout, cube fields under reduced_state, time). The per-problem math
+    is the SAME compiled fused solve as make_ilqr_solver; a sharded
+    batch matches the single-device solve to f32-codegen tolerance
+    (tests/test_parallel.py::test_sharded_ilqr_matches_single_device —
+    bitwise equality is not attainable across separately-compiled
+    shard_map/jit programs of a 10-stage nonlinear solve).
+
+    Returns a jitted solve(x0s (B, n), us (B, H, nu)) ->
+    (us (B, H, nu), costs (B,), traces (B, n_iters)).
+    """
+    from gym_kmanip_tpu.solvers.ilqr import _build_pieces, _zero_final
+
+    n_dev = mesh.devices.size
+    assert batch % n_dev == 0, (batch, n_dev)
+    if not (cfg.fused_solve and cfg.fd_linearize):
+        raise ValueError(
+            "sharded iLQR requires the fused single-dispatch solve "
+            "(cfg.fused_solve + cfg.fd_linearize)"
+        )
+    cost_final_fn = cost_final if cost_final is not None else _zero_final
+    pieces = _build_pieces(
+        model, cfg, state0_template, cost_xu, cost_final_fn, dtype,
+        quad_xu=quad_xu, quad_final=quad_final,
+    )
+    solve_fused = pieces[5]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(ROLLOUT_AXIS), P(ROLLOUT_AXIS)),
+        out_specs=(P(ROLLOUT_AXIS), P(ROLLOUT_AXIS), P(ROLLOUT_AXIS)),
+        check_vma=False,
+    )
+    def sharded(x0s, uss):
+        def one(x0, us):
+            _xs, us_out, cost, trace = solve_fused(x0, us)
+            return us_out, cost, trace
+
+        return jax.vmap(one)(x0s, uss)
+
+    return jax.jit(sharded)
+
+
 def make_sharded_mppi_solver(
     model: RobotModel,
     cfg: MPPIConfig,

@@ -151,3 +151,74 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_ilqr_matches_single_device(setup):
+    """Batched multi-problem sharded iLQR (SURVEY §2.4 row 1, iLQR half):
+    the shard_map fan-out over the rollout axis must match a
+    single-device replay of the same fused solve at the same per-device
+    batch shape, and every problem in the batch must descend."""
+    from gym_kmanip_tpu.mpc.cost import make_ee_tracking_cost_ilqr
+    from gym_kmanip_tpu.parallel.mesh import make_sharded_ilqr_solver
+    from gym_kmanip_tpu.solvers.ilqr import (
+        ILQRConfig, _build_pieces, _zero_final, flatten_state,
+    )
+
+    solo, sim0, _ = setup
+    xpos, xquat, _ = kin.fk(solo, sim0.qpos)
+    p, _ = kin.site_pose(solo, xpos, xquat, "eer_site")
+    cost_xu, quad_xu = make_ee_tracking_cost_ilqr(
+        solo, p + jnp.asarray([0.0, 0.03, -0.03])
+    )
+    n_dev = len(jax.devices())
+    B = 2 * n_dev
+    H = 6
+    cfg = ILQRConfig(horizon=H, n_iters=2, contact=False,
+                     reduced_state=True)
+    mesh = make_mesh()
+    solver = make_sharded_ilqr_solver(
+        solo, cfg, cost_xu, mesh, sim0, B, quad_xu=quad_xu
+    )
+
+    x0 = flatten_state(sim0, reduced=True)
+    rng = np.random.RandomState(0)
+    x0s = jnp.asarray(
+        np.asarray(x0)[None] + 0.01 * rng.randn(B, x0.shape[0]), jnp.float32
+    )
+    uss = jnp.asarray(
+        np.tile(np.asarray(solo.home_qpos[: solo.nu], np.float32), (B, H, 1))
+        + 0.01 * rng.randn(B, H, solo.nu).astype(np.float32)
+    )
+    us_sh, costs_sh, traces_sh = solver(x0s, uss)
+
+    # single-device replay at the SAME per-device batch shape (vmap
+    # lowering batches reductions, so a different batch width is a
+    # different f32 summation order). Unlike the MPPI replay, bitwise
+    # equality is NOT attainable here: shard_map regions compile
+    # separately from the plain jit, and a 10-stage nonlinear solve
+    # amplifies codegen-level ULP differences — so the claim is tight
+    # numerical equivalence (costs to 1e-4 relative, controls to 1e-2
+    # absolute over a +-2 rad ctrl range) plus per-problem descent.
+    pieces = _build_pieces(
+        solo, cfg, sim0, cost_xu, _zero_final, jnp.float32, quad_xu=quad_xu
+    )
+    solve_fused = pieces[5]
+
+    def one(x0_, us_):
+        _xs, us_out, cost, trace = solve_fused(x0_, us_)
+        return us_out, cost, trace
+
+    local = B // n_dev
+    vm = jax.jit(jax.vmap(one))
+    parts = [
+        vm(x0s[d * local : (d + 1) * local], uss[d * local : (d + 1) * local])
+        for d in range(n_dev)
+    ]
+    us_1 = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)
+    costs_1 = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
+
+    np.testing.assert_allclose(np.asarray(costs_sh), costs_1,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(us_sh), us_1, atol=1e-2)
+    tr = np.asarray(traces_sh)
+    assert np.all(tr[:, -1] <= tr[:, 0] + 1e-5)  # every problem descends
