@@ -375,6 +375,40 @@ def gym_env_rate():
     )
 
 
+def gym_env_rate_tpu(n_steps=50):
+    """End-user Gym env.step rate ON THE TPU BACKEND (VERDICT r4 #7):
+    gym.make(...).step() with the split pipeline goals-jit -> native host
+    IK -> core-jit, which pays ~2 tunnel round-trips per step in THIS
+    deployment (the tunnel_roundtrip_latency_ms row is the per-sync
+    floor; on-host TPU serving would not pay it). Runs in-process on the
+    already-initialized TPU backend."""
+    import gym_kmanip_tpu  # noqa: F401  (registers env ids)
+    import gymnasium as gym
+    import numpy as np
+
+    env = gym.make("KManipSoloArm")
+    env.reset(seed=0)
+    rng = np.random.RandomState(3)
+
+    def act():
+        return {
+            "eer_pos": rng.uniform(-1, 1, 3).astype(np.float32),
+            "eer_orn": np.zeros(3, dtype=np.float32),
+            "grip_r": np.zeros(1, dtype=np.float32),
+        }
+
+    for _ in range(5):
+        env.step(act())
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(n_steps):
+            env.step(act())
+        best = max(best, n_steps / (time.time() - t0))
+    env.close()
+    return best
+
+
 def _timed_once(fn, *args):
     import numpy as np
 
@@ -553,6 +587,16 @@ def main():
             )
     except Exception as e:  # noqa: BLE001
         _emit_error("gym_env_rate", e)
+
+    try:
+        tpu_hz = gym_env_rate_tpu()
+        # tunnel-bound in this deployment: every step pays ~2 tunnel
+        # round-trips (goals-jit sync + core-jit sync) on top of the
+        # compute — see tunnel_roundtrip_latency_ms for the floor
+        _emit("gym_env_step_hz_solo_tpu", tpu_hz, "Hz", tpu_hz / 50.0,
+              note="tunnel-bound: ~2 round-trips/step in this deployment")
+    except Exception as e:  # noqa: BLE001
+        _emit_error("gym_env_rate_tpu", e)
 
     if headline_err is None:
         _emit(f"mppi_solves_per_sec_chip_H50_K{N_SAMPLES}", s50, "solves/s",

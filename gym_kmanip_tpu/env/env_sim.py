@@ -33,6 +33,7 @@ class KManipEnvSim:
         self.step_count = 0
         # per-camera jitted renderers
         self.render_fns = {}
+        self._pack = None  # lazy jitted single-transfer obs packer
         for cam in gym_env.cameras:
             self.render_fns[cam.name] = make_render_fn(
                 self.model, cam.name, cam.h, cam.w
@@ -46,8 +47,8 @@ class KManipEnvSim:
         out = self.reset_fn(jnp.asarray(cube_pos, dtype=jnp.float32))
         self.state = out.state
         self.step_count = 0
-        obs = self._host_obs(out.obs)
-        return False, float(out.reward), 1.0, obs, float(out.state.time)
+        obs, reward, t = self._host_out(out)
+        return False, reward, 1.0, obs, t
 
     def k_step(self, action: Dict[str, np.ndarray]):
         jaction = {
@@ -57,11 +58,11 @@ class KManipEnvSim:
         out = self.step_fn(self.state, jaction)
         self.state = out.state
         self.step_count += 1
-        obs = self._host_obs(out.obs)
+        obs, reward, t = self._host_out(out)
         # termination only via the gym TimeLimit wrapper, like the reference
         # (dm_control StepType trips on time limit only, SURVEY.md §3.3)
         terminated = False
-        return terminated, float(out.reward), 1.0, obs, float(out.state.time)
+        return terminated, reward, 1.0, obs, t
 
     def k_render(self, cam: k.Cam):
         fn = self.render_fns.get(cam.name)
@@ -75,17 +76,46 @@ class KManipEnvSim:
         self.state = None
 
     # -- helpers -----------------------------------------------------------
-    def _host_obs(self, obs_dev) -> "ODict[str, np.ndarray]":
+    def _host_out(self, out):
+        """(obs, reward, time) on host with ONE device->host transfer for
+        every state-space quantity: under a remote/tunneled TPU runtime
+        each sync is a full round-trip (~23 ms here), and the previous
+        per-field np.asarray pattern paid 6+ of them per step — the env
+        rate was transfer-bound, not compute-bound (bench.py
+        gym_env_step_hz_solo_tpu). A tiny jitted packer concatenates
+        [obs fields..., reward, time] into one flat f32 vector, synced
+        once and split on host. Camera renders (uint8 images, Vision envs
+        only) remain separate transfers."""
+        names = [n for n in self.gym_env.obs_list if n in out.obs]
+        if self._pack is None:
+            shapes = [tuple(out.obs[n].shape) for n in names]
+            sizes = [int(np.prod(s)) for s in shapes]
+
+            def pack(obs_dev, reward, t):
+                parts = [
+                    jnp.ravel(obs_dev[n]).astype(jnp.float32) for n in names
+                ]
+                parts.append(
+                    jnp.stack(
+                        [reward.astype(jnp.float32), t.astype(jnp.float32)]
+                    )
+                )
+                return jnp.concatenate(parts)
+
+            self._pack = (jax.jit(pack), shapes, sizes)
+        pack_fn, shapes, sizes = self._pack
+        flat = np.asarray(pack_fn(out.obs, out.reward, out.state.time))
         obs = ODict()
-        for name in self.gym_env.obs_list:
-            if name in obs_dev:
-                obs[name] = np.asarray(obs_dev[name], dtype=k.OBS_DTYPE)
+        off = 0
+        for n, shape, size in zip(names, shapes, sizes):
+            obs[n] = flat[off : off + size].reshape(shape).astype(k.OBS_DTYPE)
+            off += size
         for cam in self.gym_env.cameras:
             img = self.render_fns[cam.name](
                 self.state.qpos, self.state.cube_pos, self.state.cube_quat
             )
             obs[cam.log_name] = np.asarray(img)
-        return obs
+        return obs, float(flat[-2]), float(flat[-1])
 
 
 def new(gym_env) -> KManipEnvSim:

@@ -48,6 +48,19 @@ def _cache_dir() -> str:
     return d
 
 
+# C++ solver capacity (must match ik_native.cpp constexprs NQMAX/NMAX):
+# models beyond these fall back to the numpy path per-problem (the C++
+# entry also returns -1 defensively, but that fallback used to return the
+# clipped warm start — an IK no-op; gate here instead, ADVICE r4).
+NQMAX = 32
+NMAX = 12
+
+
+def fits(model, q_mask) -> bool:
+    """True if (model, mask) is within the C++ solver's compiled capacity."""
+    return int(model.nq) <= NQMAX and 1 <= len(list(q_mask)) <= NMAX
+
+
 def _build() -> str:
     """Compile ik_native.cpp into a content-addressed .so (cached)."""
     with open(_SRC, "rb") as f:

@@ -123,8 +123,10 @@ def make_sharded_ilqr_solver(
         check_vma=False,
     )
     def sharded(x0s, uss):
+        from gym_kmanip_tpu.solvers.ilqr import _clip_u
+
         def one(x0, us):
-            _xs, us_out, cost, trace = solve_fused(x0, us)
+            _xs, us_out, cost, trace = solve_fused(x0, _clip_u(model, us))
             return us_out, cost, trace
 
         return jax.vmap(one)(x0s, uss)

@@ -502,12 +502,15 @@ def solve_host(qpos_full, goal_pos, goal_orn, q_home_full, q_prev_full, *,
     scipy-semantics TRF below. ~100x faster per solve than the numpy
     interpreter path (the env's host hot loop, exactly as the reference's
     scipy+MuJoCo-C solve is its hot loop); falls back to numpy if g++ or
-    the build is unavailable (native.available()). Solutions agree to
+    the build is unavailable (native.available()) or the model exceeds
+    the compiled capacity (native.fits: nq<=32, masked dofs<=12 — gated
+    per-problem here so an oversized robot gets the still-correct numpy
+    solver, not the C++ entry's status<0 no-op). Solutions agree to
     <1e-9 rad in-distribution (tests/test_native_ik.py) and the golden
     env-parity traces are asserted over both backends."""
     from gym_kmanip_tpu import native
 
-    if native.available():
+    if native.available() and native.fits(model, q_mask):
         return native.solve_ik_native(
             qpos_full, goal_pos, goal_orn, q_home_full, q_prev_full,
             model=model, q_mask=q_mask, site_name=site_name,

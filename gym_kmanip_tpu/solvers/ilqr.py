@@ -547,7 +547,21 @@ def ilqr_solve(
     if cost_final is None:
         cost_final = _zero_final
     pieces = _pieces(model, cfg, state0, cost_xu, cost_final, u_init.dtype)
+    u_init = _clip_u(model, u_init)
     return _run_pieces(pieces, cfg, state0, u_init)
+
+
+def _clip_u(model, u_init):
+    """Clip the warm start to ctrl_range once at solve entry: the fb
+    megakernel's nominal rollout clips the control law while the scan
+    rollout0 does not — for an out-of-range u_init the two paths saw
+    different nominals and the (xs, cost, us) triple was internally
+    inconsistent (ADVICE r4). In-range warm starts are untouched."""
+    import numpy as np
+
+    lo = np.asarray(model.ctrl_range[:, 0], dtype=np.float32)
+    hi = np.asarray(model.ctrl_range[:, 1], dtype=np.float32)
+    return jnp.clip(u_init, lo, hi)
 
 
 def _run_pieces(pieces, cfg, state0, u_init) -> ILQRResult:
@@ -599,6 +613,6 @@ def make_ilqr_solver(model: RobotModel, cfg: ILQRConfig, cost_xu,
                 model, cfg, state0, cost_xu, cost_final_fn, u_init.dtype,
                 quad_xu=quad_xu, quad_final=quad_final,
             )
-        return _run_pieces(owned[dt_key], cfg, state0, u_init)
+        return _run_pieces(owned[dt_key], cfg, state0, _clip_u(model, u_init))
 
     return solve
