@@ -1,11 +1,12 @@
 """Train and ship the policy-zoo artifacts (gym_kmanip_tpu/zoo/*.npz).
 
 Runs the examples/13_bc_pick.py pipeline (MPPI expert -> ACT hdf5 -> BC
-train -> closed-loop eval on the real plant) and saves the trained policy
-into the zoo with its provenance + eval numbers in the artifact meta.
-Re-run to refresh artifacts after dynamics/cost changes.
+train -> closed-loop eval on the real plant) over the FULL reference
+spawn randomization (constants.CUBE_SPAWN_RANGE) and saves the trained
+policy into the zoo with its provenance + eval numbers in the artifact
+meta. Re-run to refresh artifacts after dynamics/cost changes.
 
-Run: python tools/train_zoo.py [--episodes N] [--evals N]
+Run: python tools/train_zoo.py [--model solo_arm] [--episodes N] ...
 """
 
 import argparse
@@ -16,39 +17,60 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+ARTIFACT_NAME = {
+    "solo_arm": "bc_pick_solo",
+    "dual_arm": "bc_pick_dual",
+    "torso": "bc_pick_torso",
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--episodes", type=int, default=12)
+    ap.add_argument("--model", default="solo_arm",
+                    choices=sorted(ARTIFACT_NAME))
+    ap.add_argument("--episodes", type=int, default=64)
     ap.add_argument("--ep-len", type=int, default=100)
-    ap.add_argument("--train-steps", type=int, default=4000)
-    ap.add_argument("--evals", type=int, default=12)
+    ap.add_argument("--train-steps", type=int, default=8000)
+    ap.add_argument("--evals", type=int, default=16)
     ap.add_argument("--noise-p", type=float, default=0.25,
                     help="DART recovery-coverage kick probability")
+    ap.add_argument("--data-dir", default=None,
+                    help="reuse a recorded dataset instead of re-recording")
     args = ap.parse_args()
 
     bc = importlib.import_module("gym_kmanip_tpu.examples.13_bc_pick")
     from gym_kmanip_tpu import zoo
 
-    data_dir = tempfile.mkdtemp(prefix="kmanip_zoo_bc_")
-    expert_rate = bc.record(
-        data_dir, n_episodes=args.episodes, ep_len=args.ep_len,
-        noise_p=args.noise_p,
+    data_dir = args.data_dir or tempfile.mkdtemp(
+        prefix=f"kmanip_zoo_bc_{args.model}_"
     )
-    policy, params, stats = bc.train(data_dir, n_steps=args.train_steps)
+    if args.data_dir and os.path.isdir(args.data_dir) and os.listdir(
+            args.data_dir):
+        expert_rate = -1.0  # reused dataset: rate recorded at record time
+    else:
+        expert_rate = bc.record(
+            data_dir, n_episodes=args.episodes, ep_len=args.ep_len,
+            noise_p=args.noise_p, model_name=args.model,
+            spawn_range=bc.SPAWN_RANGE,
+        )
+    policy, params, stats = bc.train(
+        data_dir, n_steps=args.train_steps, model_name=args.model
+    )
     rate = bc.evaluate(policy, n_evals=args.evals,
-                       ep_len=int(args.ep_len * 1.2))
-    out = os.path.join(os.path.dirname(zoo.__file__), "bc_pick_solo.npz")
+                       ep_len=int(args.ep_len * 1.2),
+                       model_name=args.model, spawn_range=bc.SPAWN_RANGE)
+    name = ARTIFACT_NAME[args.model]
+    out = os.path.join(os.path.dirname(zoo.__file__), f"{name}.npz")
     zoo.save_policy(
         out, params, stats,
         meta=dict(
-            arch="bc_mlp", model="solo_arm", hidden=256,
+            arch="bc_mlp", model=args.model, hidden=256,
             trained_by="tools/train_zoo.py",
             n_expert_episodes=args.episodes,
             expert_success_rate=float(expert_rate),
             eval_success_rate=float(rate),
-            spawn_center=list(map(float, bc.SPAWN_CENTER)),
-            spawn_half=list(map(float, bc.SPAWN_HALF)),
+            eval_episodes=int(args.evals),
+            spawn_range=[list(map(float, r)) for r in bc.SPAWN_RANGE],
             lift_dz=float(bc.LIFT_DZ),
         ),
     )
@@ -59,9 +81,9 @@ def main():
     from gym_kmanip_tpu.dynamics import init_state
     from gym_kmanip_tpu.models import get_model
 
-    pol2, meta = zoo.load_policy("bc_pick_solo")
-    s = init_state(get_model("solo_arm"),
-                   cube_pos=np.asarray(bc.SPAWN_CENTER))
+    pol2, meta = zoo.load_policy(name)
+    s = init_state(get_model(args.model),
+                   cube_pos=np.asarray(bc.SPAWN_RANGE.mean(axis=1)))
     np.testing.assert_allclose(
         np.asarray(policy(s)), np.asarray(pol2(s)), atol=1e-6
     )
