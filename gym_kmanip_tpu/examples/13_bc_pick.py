@@ -180,12 +180,48 @@ def _load(data_dir, success_only=True) -> Tuple[np.ndarray, np.ndarray]:
     return np.concatenate(xs), np.concatenate(ys)
 
 
+def dagger_collect(policy, n_episodes=16, ep_len=100, n_samples=256,
+                   seed=1000, log=print, model_name="solo_arm",
+                   spawn_range=None):
+    """DAgger round: roll the PLANT under the learner's own policy and
+    label every visited state with the MPPI expert's action. BC alone
+    plateaued at 0.25 on the full spawn range (expert 0.78) — the classic
+    covariate-shift gap; expert labels on the learner's own state
+    distribution are cheap here (~10 ms/label, the solver runs at 10x
+    real time on chip) and close most of it."""
+    model = get_model(model_name)
+    solver, mppi0 = make_expert(model, n_samples=n_samples)
+    plant_step = make_control_step(model)
+    rng = np.random.RandomState(seed)
+    xs, ys = [], []
+    for ep in range(n_episodes):
+        spawn = _sample_spawn(rng, spawn_range)
+        state = init_state(model, cube_pos=spawn)
+        state, _z0 = _settle(model, state, plant_step)
+        ms = mppi0
+        for t in range(ep_len):
+            ms, u_star, _J = solver(ms, state)  # expert label (warm-started)
+            xs.append(np.concatenate([
+                np.asarray(state.qpos), np.asarray(state.qvel),
+                np.asarray(state.cube_pos), np.asarray(state.cube_quat),
+            ]))
+            ys.append(np.asarray(u_star))
+            u_bc = policy(state)  # the LEARNER drives the plant
+            state, _aux = plant_step(state, u_bc)
+        log(f"dagger ep {ep}: {ep_len} labels (spawn {spawn.round(3)})")
+    return np.stack(xs), np.stack(ys)
+
+
 def train(data_dir, n_steps=3000, batch=256, lr=1e-3, seed=0, log=print,
-          model_name="solo_arm"):
+          model_name="solo_arm", extra_data=None):
     import optax
 
     model = get_model(model_name)
     X, Y = _load(data_dir)
+    if extra_data is not None:
+        Xe, Ye = extra_data
+        X = np.concatenate([X, np.asarray(Xe)], axis=0)
+        Y = np.concatenate([Y, np.asarray(Ye)], axis=0)
     mu, sd = X.mean(0), X.std(0) + 1e-6
     Xn = (X - mu) / sd
     lo = model.ctrl_range[:, 0]

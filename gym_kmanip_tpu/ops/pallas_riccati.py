@@ -5,13 +5,19 @@ m x m SPD solve each, n<=53, m<=20) chained by the (Vx, Vxx) value
 recursion. As a `lax.scan` of XLA ops it is launch/latency-bound: ~0.3 ms
 per step on a v5e (~30 ms for H=100) against ~2 us of actual arithmetic.
 This kernel keeps the entire problem resident in VMEM (~4 MB at torso
-H=100) and runs the whole sweep inside one `fori_loop`: per-step matmuls
-hit the MXU, the Quu Cholesky factorization + two-sided substitution are
-trace-time-unrolled scalar rows (a column-vectorized rank-1 variant
-exists and measured SLOWER — see riccati_sweep_pallas `impl`), and the
-only HBM traffic is the initial operand load and the (ks, Ks) gain
-write-back. This is the "fused Pallas Cholesky/Riccati sweep" the
-BASELINE north star names.
+H=100) and runs the whole sweep inside one `fori_loop`. The r5 default
+step (`step_impl="gemm5"`) carries the value state jointly as
+W = [Vx | Vxx] and takes [A B] as one operand, collapsing ~13 MXU calls
+to 5; the default solve (`impl="hybrid"`) factors Quu in m/5 BLOCK
+columns (one (m,1) vector-op chain per column + one MXU Schur GEMM per
+block) and substitutes with scalar rows — the measured-best mix of five
+formulations (rows / cols / blocked / hybrid / hybrid2, all kept for
+A/B; rank-1 tile updates lose to scalar chains on this target, and a
+standalone kernel microbench carries a fixed ~0.5 ms/launch that only
+in-solve timing sees through: tools/exp_chol_blocked.py,
+exp_sweep_floor.py). The only HBM traffic is the initial operand load
+and the gain write-back. This is the "fused Pallas Cholesky/Riccati
+sweep" the BASELINE north star names.
 
 Mosaic discipline: every value stays rank-2 ((n,1) columns, (1,1)
 "scalars") — rank-1 vectors pick up implicit tiling dims that the TPU

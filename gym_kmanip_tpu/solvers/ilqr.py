@@ -5,11 +5,15 @@ BASELINE north star asks for "batched damped-LS IK -> SQP/iLQR" on these
 dynamics). The default configuration compiles the ENTIRE solve into one
 device dispatch:
 
-  * dynamics linearization: branch-consistent central differences — all
-    H x (2n + 2m) probe evaluations as ONE batched call through the fused
-    Pallas substep kernel (`vmap(jacfwd(f))` through the lapack-path graph
-    remains as the exact oracle, fd_linearize=False)
-  * cost quadratization: vmapped grad/hessian of the running cost
+  * dynamics linearization: branch-consistent one-sided differences
+    (fd_order=1; centered available) — all H x (n + m) probe evaluations
+    as ONE batched call through the fused Pallas substep kernel
+    (`vmap(jacfwd(f))` through the lapack-path graph remains as the exact
+    oracle, fd_linearize=False)
+  * cost quadratization: vmapped grad/hessian of the running cost, or a
+    user-supplied analytic/Gauss-Newton model (quad_xu — see
+    mpc.cost.make_ee_tracking_cost_ilqr; the autodiff Hessian of an
+    FK-bearing cost was ~30% of the torso solve wall)
   * backward pass: the whole Riccati recursion as ONE Pallas kernel
     (ops/pallas_riccati: VMEM-resident sweep, in-kernel Cholesky,
     Gershgorin-adaptive Levenberg regularization); `lax.scan` off-TPU, or

@@ -79,24 +79,43 @@ def test_format_version_guard(tmp_path):
 
 
 def test_shipped_policies_listed():
-    """Shipped artifacts load and carry their training provenance."""
+    """Every shipped artifact loads and carries its training provenance;
+    the flagship (bc_pick_solo) records >= 0.7 full-spawn-range eval
+    success (VERDICT r4 #4's bar) and every artifact records the spawn
+    range it was evaluated over."""
     names = zoo.list_policies()
     assert "bc_pick_solo" in names, f"zoo missing bc_pick_solo: {names}"
-    art = zoo.load_artifact("bc_pick_solo")
-    assert art.meta["model"] == "solo_arm"
-    assert art.meta["eval_success_rate"] > 0.0
+    for name in names:
+        art = zoo.load_artifact(name)
+        assert art.meta["eval_success_rate"] > 0.0, name
+        assert "spawn_range" in art.meta, name
+        rng = np.asarray(art.meta["spawn_range"], np.float64)
+        # trained/eval'd over the env's FULL reference spawn randomization
+        from gym_kmanip_tpu import constants as k
+
+        np.testing.assert_allclose(rng, k.CUBE_SPAWN_RANGE)
+    assert zoo.load_artifact("bc_pick_solo").meta["eval_success_rate"] >= 0.7
 
 
 @pytest.mark.slow
-def test_shipped_bc_pick_lifts_cube():
-    """The shipped artifact, closed-loop on the real plant: the cube must
-    leave the table from at least one of three randomized spawns (the
-    artifact's recorded eval rate is much higher; the weak bar keeps the
-    test robust to plant-seed sensitivity)."""
+@pytest.mark.parametrize("name", zoo.list_policies())
+def test_shipped_artifacts_reproduce_their_eval_rate(name):
+    """The SHIPPED artifacts, closed-loop on the real plant over the full
+    spawn range: the measured 8-episode rate must sit within binomial
+    noise of the rate recorded in the artifact meta (~2 sigma at n=8 is
+    ~0.35) — catching both dynamics drift that invalidates a stale
+    artifact and overstated meta numbers (ADVICE r4: the previous
+    fixed-seed rate>0 @ n=3 assertion was deterministically red)."""
     importlib = __import__("importlib")
     bc = importlib.import_module("gym_kmanip_tpu.examples.13_bc_pick")
 
-    policy, meta = zoo.load_policy("bc_pick_solo")
-    rate = bc.evaluate(policy, n_evals=3, ep_len=120, seed=7,
-                       log=lambda *a: None)
-    assert rate > 0.0
+    policy, meta = zoo.load_policy(name)
+    spawn_range = np.asarray(meta["spawn_range"], np.float64)
+    rate = bc.evaluate(policy, n_evals=8, ep_len=120, seed=7,
+                       log=lambda *a: None,
+                       model_name=str(meta["model"]),
+                       spawn_range=spawn_range)
+    assert rate >= float(meta["eval_success_rate"]) - 0.35, (
+        f"{name}: measured {rate} vs recorded "
+        f"{meta['eval_success_rate']}"
+    )

@@ -32,9 +32,10 @@ from gym_kmanip_tpu.utils.profiling import sync
 QUICK = "--quick" in sys.argv
 
 
-def report(metric, value, unit, vs=None):
+def report(metric, value, unit, vs=None, **extra):
     print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit,
-                      **({"vs_baseline": round(vs, 3)} if vs is not None else {})}),
+                      **({"vs_baseline": round(vs, 3)} if vs is not None else {}),
+                      **extra}),
           flush=True)
 
 
@@ -276,19 +277,29 @@ def bc_bench():
 
 
 def zoo_bench():
-    """Closed-loop success of the SHIPPED policy artifacts (no training:
-    the artifact is the product — bc_bench above covers the pipeline)."""
+    """Closed-loop success of EVERY shipped policy artifact (no training:
+    the artifact is the product — bc_bench above covers the pipeline).
+    Each artifact evals on its own morphology over the spawn range
+    recorded in its meta (the full CUBE_SPAWN_RANGE for the r5 zoo)."""
     import importlib
+
+    import numpy as np
 
     from gym_kmanip_tpu import zoo
 
-    if "bc_pick_solo" not in zoo.list_policies():
-        return
     bc = importlib.import_module("gym_kmanip_tpu.examples.13_bc_pick")
-    policy, meta = zoo.load_policy("bc_pick_solo")
-    rate = bc.evaluate(policy, n_evals=3 if QUICK else 10,
-                       ep_len=120, log=lambda *a: None)
-    report("zoo_bc_pick_success_rate", rate, "fraction", rate)
+    for name in zoo.list_policies():
+        policy, meta = zoo.load_policy(name)
+        spawn_range = meta.get("spawn_range")
+        if spawn_range is not None:
+            spawn_range = np.asarray(spawn_range, np.float64)
+        rate = bc.evaluate(
+            policy, n_evals=4 if QUICK else 10, ep_len=120,
+            log=lambda *a: None, model_name=str(meta["model"]),
+            spawn_range=spawn_range,
+        )
+        report(f"zoo_{name}_success_rate", rate, "fraction", rate,
+               meta_eval_rate=meta.get("eval_success_rate"))
 
 
 if __name__ == "__main__":

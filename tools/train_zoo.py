@@ -15,6 +15,8 @@ import os
 import sys
 import tempfile
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 ARTIFACT_NAME = {
@@ -34,6 +36,8 @@ def main():
     ap.add_argument("--evals", type=int, default=16)
     ap.add_argument("--noise-p", type=float, default=0.25,
                     help="DART recovery-coverage kick probability")
+    ap.add_argument("--dagger-rounds", type=int, default=3)
+    ap.add_argument("--dagger-episodes", type=int, default=16)
     ap.add_argument("--data-dir", default=None,
                     help="reuse a recorded dataset instead of re-recording")
     args = ap.parse_args()
@@ -56,6 +60,30 @@ def main():
     policy, params, stats = bc.train(
         data_dir, n_steps=args.train_steps, model_name=args.model
     )
+    # DAgger rounds: label the learner's own trajectories with the expert
+    # and retrain on everything (pure BC plateaued at 0.25 full-range vs
+    # the expert's 0.78 — covariate shift; see bc.dagger_collect)
+    extra = None
+    for rnd in range(args.dagger_rounds):
+        Xd, Yd = bc.dagger_collect(
+            policy, n_episodes=args.dagger_episodes, ep_len=args.ep_len,
+            seed=1000 + 97 * rnd, model_name=args.model,
+            spawn_range=bc.SPAWN_RANGE,
+        )
+        if extra is None:
+            extra = (Xd, Yd)
+        else:
+            extra = (np.concatenate([extra[0], Xd]),
+                     np.concatenate([extra[1], Yd]))
+        policy, params, stats = bc.train(
+            data_dir, n_steps=args.train_steps, model_name=args.model,
+            extra_data=extra,
+        )
+        r = bc.evaluate(policy, n_evals=8, ep_len=int(args.ep_len * 1.2),
+                        model_name=args.model, spawn_range=bc.SPAWN_RANGE,
+                        seed=500 + rnd)
+        print(f"dagger round {rnd}: interim eval {r:.2f} "
+              f"({extra[0].shape[0]} dagger labels)")
     rate = bc.evaluate(policy, n_evals=args.evals,
                        ep_len=int(args.ep_len * 1.2),
                        model_name=args.model, spawn_range=bc.SPAWN_RANGE)
@@ -67,6 +95,8 @@ def main():
             arch="bc_mlp", model=args.model, hidden=256,
             trained_by="tools/train_zoo.py",
             n_expert_episodes=args.episodes,
+            dagger_rounds=int(args.dagger_rounds),
+            dagger_episodes_per_round=int(args.dagger_episodes),
             expert_success_rate=float(expert_rate),
             eval_success_rate=float(rate),
             eval_episodes=int(args.evals),
@@ -76,8 +106,6 @@ def main():
     )
     print(f"saved {out}: expert {expert_rate:.2f}, bc {rate:.2f}")
     # reload check: the shipped artifact must reproduce the live policy
-    import numpy as np
-
     from gym_kmanip_tpu.dynamics import init_state
     from gym_kmanip_tpu.models import get_model
 
