@@ -49,7 +49,31 @@ def _bc_mlp(out_dim: int, hidden: int = 256):
     return BCMLP()
 
 
-_ARCHS = {"bc_mlp": _bc_mlp}
+def _bc_pixels_cnn(out_dim: int, hidden: int = 256):
+    """Pixels BC policy (examples/15_bc_pixels.py trains this): overhead
+    render -> conv stack, concatenated with proprioception (qpos, qvel;
+    NO cube state — the cube is seen, not read), -> ctrl."""
+    from flax import linen as nn
+
+    import jax.numpy as jnp
+
+    class BCPixelsCNN(nn.Module):
+        @nn.compact
+        def __call__(self, img, proprio):
+            # img: (B, H, W, 3) float in [0, 1]; proprio: (B, P)
+            x = img
+            for feat in (16, 32, 64):
+                x = nn.relu(nn.Conv(feat, (3, 3), strides=(2, 2))(x))
+            x = x.reshape((x.shape[0], -1))
+            x = nn.relu(nn.Dense(hidden)(x))
+            x = jnp.concatenate([x, proprio], axis=-1)
+            x = nn.tanh(nn.Dense(hidden)(x))
+            return nn.tanh(nn.Dense(out_dim)(x))
+
+    return BCPixelsCNN()
+
+
+_ARCHS = {"bc_mlp": _bc_mlp, "bc_pixels_cnn": _bc_pixels_cnn}
 
 
 def _flatten_params(tree, prefix="p:"):
@@ -146,8 +170,8 @@ def load_policy(name_or_path: str) -> Tuple[Callable, Dict[str, Any]]:
     art = load_artifact(name_or_path)
     meta = dict(art.meta)
     model = get_model(str(meta["model"]))
-    net = _ARCHS[str(meta["arch"])](out_dim=model.nu,
-                                    hidden=int(meta.get("hidden", 256)))
+    arch = str(meta["arch"])
+    net = _ARCHS[arch](out_dim=model.nu, hidden=int(meta.get("hidden", 256)))
     # numpy normalizers: baked into the jitted program as literals (device
     # arrays in closures trigger the axon slow mode,
     # tests/test_no_device_closures.py)
@@ -156,6 +180,27 @@ def load_policy(name_or_path: str) -> Tuple[Callable, Dict[str, Any]]:
     mid = np.asarray(art.stats["mid"], np.float32)
     half = np.asarray(art.stats["half"], np.float32)
     params = art.params
+
+    if arch == "bc_pixels_cnn":
+        # self-contained pixels policy: the closure RENDERS its own
+        # observation with the on-device raycaster — it reads qpos/qvel
+        # (proprioception) and PIXELS, never the cube state
+        from gym_kmanip_tpu.render.raycast import render_camera
+
+        cam = str(meta["cam"])
+        h, w = int(meta["img_h"]), int(meta["img_w"])
+
+        def policy(state) -> "jax.Array":
+            img = render_camera(
+                model, cam, state.qpos, state.cube_pos, state.cube_quat,
+                h, w,
+            ).astype(jnp.float32) / 255.0
+            proprio = jnp.concatenate([state.qpos, state.qvel])
+            pn = (proprio - mu) / sd
+            yn = net.apply(params, img[None], pn[None])[0]
+            return yn * half + mid
+
+        return jax.jit(policy), meta
 
     def policy(state) -> "jax.Array":
         x = jnp.concatenate(

@@ -57,14 +57,23 @@ def main():
             noise_p=args.noise_p, model_name=args.model,
             spawn_range=bc.SPAWN_RANGE,
         )
+    # previously-collected DAgger labels (saved below) seed this run, so
+    # successive invocations accumulate instead of starting over
+    dagger_path = os.path.join(data_dir, "dagger_labels.npz")
+    extra = None
+    if os.path.exists(dagger_path):
+        d = np.load(dagger_path)
+        extra = (d["X"], d["Y"])
+        print(f"resuming with {extra[0].shape[0]} saved dagger labels")
     policy, params, stats = bc.train(
-        data_dir, n_steps=args.train_steps, model_name=args.model
+        data_dir, n_steps=args.train_steps, model_name=args.model,
+        extra_data=extra,
     )
     # DAgger rounds: label the learner's own trajectories with the expert
     # and retrain on everything (pure BC plateaued at 0.25 full-range vs
     # the expert's 0.78 — covariate shift; see bc.dagger_collect)
-    extra = None
-    for rnd in range(args.dagger_rounds):
+    rnd0 = 0 if extra is None else extra[0].shape[0] // 1600  # round count
+    for rnd in range(rnd0, rnd0 + args.dagger_rounds):
         Xd, Yd = bc.dagger_collect(
             policy, n_episodes=args.dagger_episodes, ep_len=args.ep_len,
             seed=1000 + 97 * rnd, model_name=args.model,
@@ -75,6 +84,7 @@ def main():
         else:
             extra = (np.concatenate([extra[0], Xd]),
                      np.concatenate([extra[1], Yd]))
+        np.savez(dagger_path, X=extra[0], Y=extra[1])
         policy, params, stats = bc.train(
             data_dir, n_steps=args.train_steps, model_name=args.model,
             extra_data=extra,
@@ -83,7 +93,7 @@ def main():
                         model_name=args.model, spawn_range=bc.SPAWN_RANGE,
                         seed=500 + rnd)
         print(f"dagger round {rnd}: interim eval {r:.2f} "
-              f"({extra[0].shape[0]} dagger labels)")
+              f"({extra[0].shape[0]} dagger labels)", flush=True)
     rate = bc.evaluate(policy, n_evals=args.evals,
                        ep_len=int(args.ep_len * 1.2),
                        model_name=args.model, spawn_range=bc.SPAWN_RANGE)
