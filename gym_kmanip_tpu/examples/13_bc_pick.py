@@ -100,9 +100,12 @@ def record(data_dir, n_episodes=8, ep_len=100, n_samples=256, seed=0,
     `noise_p`: DART-style recovery coverage — with this per-step
     probability, kick the plant's qvel by N(0, noise_scale) AFTER logging
     the (obs, expert-action) pair. The re-planning expert recovers, so
-    subsequent pairs demonstrate recovery from off-manifold states — the
-    classic fix for BC's compounding-error failure (measured: 0.29 -> 0.5+
-    closed-loop pick success at equal data budget)."""
+    subsequent pairs demonstrate recovery from off-manifold states. On
+    the full spawn range DART alone is NOT enough (r5 measured 0.25 BC
+    success vs the expert's 0.78) — the shipped artifacts add DAgger
+    rounds on top (dagger_collect below); the honest per-artifact rates
+    live in the artifact meta (gym_kmanip_tpu/zoo) and in bench_suite's
+    zoo rows, not here."""
     model = get_model(model_name)
     solver, mppi_state0 = make_expert(model, n_samples=n_samples)
     plant_step = make_control_step(model)
