@@ -94,7 +94,7 @@ def make_expert(model, n_samples=256, horizon=20, n_iters=2):
 
 def record(data_dir, n_episodes=8, ep_len=100, n_samples=256, seed=0,
            noise_p=0.0, noise_scale=0.15, log=print, model_name="solo_arm",
-           spawn_range=None):
+           spawn_range=None, ep0=0):
     """MPPI-expert episodes as ACT hdf5 (+ observations/cube_pose).
 
     `noise_p`: DART-style recovery coverage — with this per-step
@@ -112,7 +112,7 @@ def record(data_dir, n_episodes=8, ep_len=100, n_samples=256, seed=0,
     rng = np.random.RandomState(seed)
     os.makedirs(data_dir, exist_ok=True)
     n_success = 0
-    for ep in range(n_episodes):
+    for ep in range(ep0, ep0 + n_episodes):
         spawn = _sample_spawn(rng, spawn_range)
         state = init_state(model, cube_pos=spawn)
         state, z0 = _settle(model, state, plant_step)
@@ -216,7 +216,7 @@ def dagger_collect(policy, n_episodes=16, ep_len=100, n_samples=256,
 
 
 def train(data_dir, n_steps=3000, batch=256, lr=1e-3, seed=0, log=print,
-          model_name="solo_arm", extra_data=None):
+          model_name="solo_arm", extra_data=None, hidden=256, depth=2):
     import optax
 
     model = get_model(model_name)
@@ -236,10 +236,13 @@ def train(data_dir, n_steps=3000, batch=256, lr=1e-3, seed=0, log=print,
     # (gym_kmanip_tpu/zoo/*.npz) reload into the identical network
     from gym_kmanip_tpu.zoo import _bc_mlp
 
-    net = _bc_mlp(out_dim=Yn.shape[1])
+    net = _bc_mlp(out_dim=Yn.shape[1], hidden=hidden, depth=depth)
     key = jax.random.PRNGKey(seed)
     params = net.init(key, jnp.zeros((1, Xn.shape[1])))
-    tx = optax.adam(lr)
+    # cosine decay: constant-LR Adam on tanh nets left the final policy
+    # at whatever the last noisy step produced — measured round-to-round
+    # closed-loop swings of +-0.2 at fixed data; annealing settles it
+    tx = optax.adam(optax.cosine_decay_schedule(lr, n_steps))
     opt = tx.init(params)
     Xj, Yj = jnp.asarray(Xn, jnp.float32), jnp.asarray(Yn, jnp.float32)
 

@@ -35,15 +35,15 @@ class PolicyArtifact(NamedTuple):
     meta: Dict[str, Any]  # arch name, model name, training provenance
 
 
-def _bc_mlp(out_dim: int, hidden: int = 256):
+def _bc_mlp(out_dim: int, hidden: int = 256, depth: int = 2):
     """The BC policy architecture (examples/13_bc_pick.py trains this)."""
     from flax import linen as nn
 
     class BCMLP(nn.Module):
         @nn.compact
         def __call__(self, x):
-            x = nn.tanh(nn.Dense(hidden)(x))
-            x = nn.tanh(nn.Dense(hidden)(x))
+            for _ in range(depth):
+                x = nn.tanh(nn.Dense(hidden)(x))
             return nn.tanh(nn.Dense(out_dim)(x))
 
     return BCMLP()
@@ -171,7 +171,10 @@ def load_policy(name_or_path: str) -> Tuple[Callable, Dict[str, Any]]:
     meta = dict(art.meta)
     model = get_model(str(meta["model"]))
     arch = str(meta["arch"])
-    net = _ARCHS[arch](out_dim=model.nu, hidden=int(meta.get("hidden", 256)))
+    kw = dict(hidden=int(meta.get("hidden", 256)))
+    if arch == "bc_mlp":
+        kw["depth"] = int(meta.get("depth", 2))
+    net = _ARCHS[arch](out_dim=model.nu, **kw)
     # numpy normalizers: baked into the jitted program as literals (device
     # arrays in closures trigger the axon slow mode,
     # tests/test_no_device_closures.py)

