@@ -73,12 +73,28 @@ def _settle(model, state, plant_step, n=5):
 
 
 def make_expert(model, n_samples=256, horizon=20, n_iters=2):
-    """The examples/8 MPPI pick expert as a (state) -> ctrl closure."""
+    """The examples/8 MPPI pick expert as a (state) -> ctrl closure.
+
+    Multi-arm models (dual_arm, torso): the original mean-over-ALL-tips
+    distance diluted the gradient — the far arm's unreachable tips
+    dominate the mean and halve the reachable arm's pull (measured: dual
+    expert 2/6 full-range lifts). Per-arm mean + min over arms sends the
+    CLOSEST arm to the cube (dual 5/6 after)."""
+    r_idx = [i for i, t in enumerate(model.fingertips) if t.side == "r"]
+    l_idx = [i for i, t in enumerate(model.fingertips) if t.side == "l"]
+
     def cost_fn(s, aux, u):
         d2 = jnp.sum((aux.tip_pos - s.cube_pos[None, :]) ** 2, axis=-1)
+        if r_idx and l_idx:
+            d2arm = jnp.minimum(
+                jnp.mean(d2[jnp.asarray(r_idx)]),
+                jnp.mean(d2[jnp.asarray(l_idx)]),
+            )
+        else:
+            d2arm = jnp.mean(d2)
         touched = aux.touch_r | aux.touch_l
         return (
-            50.0 * jnp.mean(d2)
+            50.0 * d2arm
             + 0.01 * jnp.sum(s.qvel**2)
             - jnp.where(touched, 5.0, 0.0)
             - jnp.where(touched & ~aux.touch_table, 10.0, 0.0)

@@ -294,7 +294,8 @@ def zoo_bench():
         if spawn_range is not None:
             spawn_range = np.asarray(spawn_range, np.float64)
         rate = bc.evaluate(
-            policy, n_evals=4 if QUICK else 10, ep_len=120,
+            policy, n_evals=4 if QUICK else 10,
+            ep_len=int(meta.get("eval_ep_len", 120)),
             log=lambda *a: None, model_name=str(meta["model"]),
             spawn_range=spawn_range,
         )
