@@ -102,16 +102,23 @@ def train(data_dir, n_steps=6000, batch=64, lr=1e-3, seed=0, log=print,
                       jnp.zeros((1, Pn.shape[1])))
     tx = optax.adam(lr)
     opt = tx.init(params)
-    imgs_j = jnp.asarray(imgs, jnp.float32) / 255.0
-    Pj, Yj = jnp.asarray(Pn, jnp.float32), jnp.asarray(Yn, jnp.float32)
+    # dataset stays a jit ARGUMENT (device-resident across calls), never a
+    # closure constant: captured device arrays are re-uploaded with the
+    # program (the 0.5 GB frame tensor overflows the tunnel's request
+    # limit) and trip the axon slow mode; images stay uint8 on device and
+    # normalize per-minibatch
+    imgs_d = jax.device_put(jnp.asarray(imgs))  # (N, H, W, 3) uint8
+    Pd = jax.device_put(jnp.asarray(Pn, jnp.float32))
+    Yd = jax.device_put(jnp.asarray(Yn, jnp.float32))
 
     @jax.jit
-    def step(params, opt, key):
-        idx = jax.random.randint(key, (batch,), 0, Pj.shape[0])
+    def step(params, opt, key, imgs_a, P_a, Y_a):
+        idx = jax.random.randint(key, (batch,), 0, P_a.shape[0])
 
         def loss_fn(p):
-            pred = net.apply(p, imgs_j[idx], Pj[idx])
-            return jnp.mean((pred - Yj[idx]) ** 2)
+            im = imgs_a[idx].astype(jnp.float32) / 255.0
+            pred = net.apply(p, im, P_a[idx])
+            return jnp.mean((pred - Y_a[idx]) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         upd, opt = tx.update(grads, opt)
@@ -119,7 +126,7 @@ def train(data_dir, n_steps=6000, batch=64, lr=1e-3, seed=0, log=print,
 
     for i in range(n_steps):
         key, sub = jax.random.split(key)
-        params, opt, loss = step(params, opt, sub)
+        params, opt, loss = step(params, opt, sub, imgs_d, Pd, Yd)
         if i % max(1, n_steps // 5) == 0:
             log(f"pixels bc step {i}: loss {float(loss):.5f}")
 

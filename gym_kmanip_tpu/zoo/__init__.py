@@ -8,13 +8,23 @@ loader that returns a jitted `policy(SimState) -> ctrl` closure ready for
 the closed-loop plant (dynamics.engine.make_control_step) or the Gym env.
 
 Shipped artifacts (gym_kmanip_tpu/zoo/*.npz, trained in-repo by
-tools/train_zoo.py, eval'd on the real plant the policy never trained on):
+tools/train_zoo.py / select_zoo.py / train_zoo_all.py /
+train_zoo_pixels.py, eval'd closed-loop on the real plant over the spawn
+range recorded in each artifact's meta — every meta carries its honest
+eval protocol: episode count, seed, episode length, spawn range):
 
-  * bc_pick_solo — behavior-cloning MLP distilled from the MPPI pick
-    expert (examples/13_bc_pick.py pipeline): (qpos, qvel, cube_pose) ->
-    ctrl, lifts the cube from randomized spawns.
+  * bc_pick_solo   — state BC MLP from the MPPI pick expert, FULL
+    reference spawn range (20x20 cm).
+  * bc_pick_dual   — dual-arm variant (per-arm-min expert cost sends the
+    closest arm), full spawn range.
+  * bc_pick_torso  — torso variant over the torso's MEASURED reachable
+    band (y in [0.50, 0.54]; beyond it the arms physically cannot reach
+    the cube — min tip-cube distance 0.15-0.21 m even under the expert).
+  * bc_pixels_solo — end-to-end pixels policy (bc_pixels_cnn): the
+    loader closure renders its own overhead frame on-device; the network
+    never reads cube state.
 
-Artifacts are small (a 2x256 MLP is ~300 KB) and versioned with the
+Artifacts are small (a few MB) and versioned with the
 architecture name, so a stale file fails loudly instead of mis-loading.
 flax is required only to LOAD policies (the `train` extra), never by the
 core package.
